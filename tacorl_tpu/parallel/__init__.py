@@ -1,0 +1,7 @@
+from tacorl_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+    local_mesh_devices,
+)

@@ -1,0 +1,88 @@
+"""Device-mesh + sharding substrate.
+
+Replaces the reference's entire distributed surface (PL DDP + gloo
+collectives, SURVEY.md §2.7; scripts/train.py:75) with the TPU-native
+equivalent: a ``jax.sharding.Mesh`` over ICI, batches sharded along the
+``dp`` axis, parameters replicated (or sharded along ``mp`` for
+model-parallel layers), and XLA-inserted collectives for gradient/metric
+reduction — no hand-written NCCL/MPI analogue is needed.
+
+Axes:
+  * ``dp`` — data parallel (gradient all-reduce rides this axis)
+  * ``mp`` — model/tensor parallel (exposed for sharded linear layers; the
+    reference has no TP requirement but the mesh keeps the 2D layout
+    available, SURVEY.md §2.7)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "local_mesh_devices",
+    "sync_metrics",
+]
+
+
+def local_mesh_devices(n_devices: Optional[int] = None) -> Sequence[jax.Device]:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return devices
+
+
+def create_mesh(
+    dp: Optional[int] = None,
+    mp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (dp, mp) mesh. ``dp=None`` takes all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % mp != 0:
+            raise ValueError(f"{n} devices not divisible by mp={mp}")
+        dp = n // mp
+    use = dp * mp
+    grid = np.asarray(devices[:use]).reshape(dp, mp)
+    return Mesh(grid, axis_names=("dp", "mp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the dp axis."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host-side batch pytree onto the mesh, sharded over dp on the
+    leading axis of every leaf (per-host input pipeline -> device, replacing
+    DataLoader+DDP scatter)."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def sync_metrics(metrics: Any) -> Any:
+    """Mean-reduce metric scalars that were computed on sharded data.
+
+    Inside jit over a sharded batch, `jnp.mean` already reduces globally (XLA
+    inserts the collective), mirroring Lightning's ``sync_dist=True``
+    semantics (reference: play_lmp_for_rl.py:157-163). This helper exists for
+    host-side aggregation of per-step metric dicts."""
+    return jax.tree.map(lambda x: float(np.mean(np.asarray(x))), metrics)

@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tacorl_tpu.core.obs import (
+    batch_size_of,
+    expand_obs,
+    flatten_obs_time,
+    unflatten_obs_time,
+)
+from tacorl_tpu.parallel import create_mesh, shard_batch
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape["dp"] == 8 and mesh.shape["mp"] == 1
+    mesh2 = create_mesh(mp=2)
+    assert mesh2.shape["dp"] == 4 and mesh2.shape["mp"] == 2
+
+
+def test_shard_batch_and_global_mean():
+    mesh = create_mesh()
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == P("dp")
+
+    @jax.jit
+    def mean_fn(b):
+        return jnp.mean(b["x"])
+
+    # jnp.mean over a dp-sharded batch reduces globally (sync_dist semantics)
+    assert float(mean_fn(sharded)) == 7.5
+
+
+def test_dp_gradient_is_global_mean():
+    mesh = create_mesh()
+    w = jax.device_put(jnp.ones((1,)), NamedSharding(mesh, P()))
+    x = jax.device_put(
+        jnp.arange(8, dtype=jnp.float32).reshape(8, 1), NamedSharding(mesh, P("dp"))
+    )
+
+    @jax.jit
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g = jax.grad(loss)(w, x)
+    expected = np.mean(2 * np.arange(8.0) ** 2 / 1.0)
+    np.testing.assert_allclose(np.asarray(g), [expected], rtol=1e-6)
+
+
+def test_obs_utils():
+    obs = {"a": jnp.ones((4, 2, 3)), "n": {"b": jnp.zeros((4, 2))}}
+    assert batch_size_of(obs) == 4
+    e = expand_obs(obs, 3)
+    assert e["a"].shape == (12, 2, 3) and e["n"]["b"].shape == (12, 2)
+    e2 = expand_obs(obs, 3, reshape=False)
+    assert e2["a"].shape == (3, 4, 2, 3)
+    flat = flatten_obs_time(obs)
+    assert flat["a"].shape == (8, 3)
+    back = unflatten_obs_time(flat, 4, 2)
+    assert back["a"].shape == (4, 2, 3)
+
+
+def test_expand_obs_order_matches_reference():
+    # reference expand_obs: (n, bs, ...) -> reshape(n*bs, ...): tile-blocks
+    obs = jnp.array([[1.0], [2.0]])
+    e = expand_obs(obs, 2)
+    np.testing.assert_array_equal(np.asarray(e), [[1.0], [2.0], [1.0], [2.0]])
