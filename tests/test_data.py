@@ -1,0 +1,181 @@
+import json
+
+import numpy as np
+import pytest
+
+from tacorl_tpu.data.knn import build_nn_steps_from_step, knn_l2
+from tacorl_tpu.data.loader import DataLoader, collate
+from tacorl_tpu.data.play_dataset import PlayWindowDataset, validation_window_size
+from tacorl_tpu.data.storage import (
+    FrameDirStorage,
+    PackedStorage,
+    load_ep_start_end_ids,
+    pack_frames,
+)
+from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+MODALITIES = ["rgb_static", "robot_obs", "rel_actions_world"]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("calvin")
+    generate_synthetic_calvin(
+        root, n_train_episodes=2, n_val_episodes=1, episode_len=40, image_hw=32
+    )
+    return root
+
+
+def test_frame_dir_storage(data_root):
+    st = FrameDirStorage(data_root / "training")
+    assert "rgb_static" in st.keys
+    w = st.read_window(5, 9, ["rgb_static", "robot_obs"])
+    assert w["rgb_static"].shape == (4, 32, 32, 3)
+    # deterministic frame content: red channel == step % 251
+    assert w["rgb_static"][0, 0, 0, 0] == 5
+    assert w["rgb_static"][3, 0, 0, 0] == 8
+
+
+def test_packed_storage_round_trip(data_root, tmp_path):
+    packed = pack_frames(data_root / "training", tmp_path / "packed")
+    st = FrameDirStorage(data_root / "training")
+    a = st.read_window(10, 14, ["rgb_static", "robot_obs"])
+    b = packed.read_window(10, 14, ["rgb_static", "robot_obs"])
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # reopen from disk
+    st2 = PackedStorage(tmp_path / "packed")
+    np.testing.assert_array_equal(
+        st2.read_frame(11, ["robot_obs"])["robot_obs"], a["robot_obs"][1]
+    )
+    assert load_ep_start_end_ids(tmp_path / "packed", train=True).shape == (2, 2)
+
+
+def test_validation_window_size_stable():
+    sizes = [validation_window_size(i, 8, 16) for i in range(200)]
+    assert all(8 <= s <= 16 for s in sizes)
+    assert sizes == [validation_window_size(i, 8, 16) for i in range(200)]
+    assert len(set(sizes)) > 4  # spreads over the range
+
+
+def test_play_dataset_window_and_padding(data_root):
+    ds = PlayWindowDataset(
+        data_root / "training",
+        modalities=MODALITIES,
+        min_window_size=8,
+        max_window_size=16,
+        train=True,
+    )
+    # lookup: 2 episodes of len 40 -> (39 - 16 + 1) starts each
+    assert len(ds) == 2 * (40 - 16)
+    rng = np.random.default_rng(0)
+    item = ds.sample(3, rng)
+    ws = int(item["window_size"])
+    assert 8 <= ws <= 16
+    assert item["states"]["rgb_static"].shape == (16, 32, 32, 3)
+    assert item["actions"].shape == (16, 7)
+    # frames beyond window are repeats of the last real frame
+    if ws < 16:
+        np.testing.assert_array_equal(
+            item["states"]["rgb_static"][ws - 1], item["states"]["rgb_static"][-1]
+        )
+        # rel action padding: zeros except repeated gripper channel
+        np.testing.assert_array_equal(item["actions"][ws:, :-1], 0.0)
+        np.testing.assert_array_equal(
+            item["actions"][ws:, -1], item["actions"][ws - 1, -1]
+        )
+    # window alignment: frame step encoded in red channel
+    start = int(ds.episode_lookup[3])
+    assert item["states"]["rgb_static"][0, 0, 0, 0] == start % 251
+    assert item["state_info"]["robot_obs"].shape == (16, 15)
+
+
+def test_play_dataset_val_deterministic(data_root):
+    ds = PlayWindowDataset(
+        data_root / "validation",
+        modalities=MODALITIES,
+        min_window_size=8,
+        max_window_size=16,
+        train=False,
+    )
+    a = ds.sample(5, np.random.default_rng(1))
+    b = ds.sample(5, np.random.default_rng(999))
+    assert int(a["window_size"]) == int(b["window_size"])
+
+
+def test_play_dataset_goals(data_root, tmp_path):
+    ds = PlayWindowDataset(
+        data_root / "training",
+        modalities=MODALITIES,
+        min_window_size=8,
+        max_window_size=16,
+        include_goal=True,
+        goal_strategy_prob={"geometric": 0.5, "similar_robot_obs": 0.5},
+        nn_steps_from_step_path=str(tmp_path / "nn.json"),
+        num_nn=8,
+    )
+    rng = np.random.default_rng(0)
+    disps = []
+    for i in range(20):
+        item = ds.sample(i % len(ds), rng)
+        assert "goal" in item
+        assert item["goal"]["rgb_static"].shape == (32, 32, 3)
+        assert "rel_actions_world" not in item["goal"]
+        disps.append(int(item["disp"]))
+    assert any(d >= 1 for d in disps)  # geometric used
+    assert any(d == -1 for d in disps)  # nn strategy used
+    assert (tmp_path / "nn.json").is_file()
+    with open(tmp_path / "nn.json") as f:
+        cached = json.load(f)
+    assert "train" in cached
+
+
+def test_knn_exact():
+    db = np.asarray([[0.0], [1.0], [2.0], [10.0]])
+    idx = knn_l2(db, db, 2)
+    np.testing.assert_array_equal(idx[:, 0], [0, 1, 2, 3])  # self first
+    assert idx[0, 1] == 1 and idx[3, 1] == 2
+
+
+def test_knn_margin_excludes_temporal_neighbors():
+    steps = [0, 1, 2, 100]
+    vecs = np.asarray([[0.0], [0.1], [0.2], [0.3]])
+    nn = build_nn_steps_from_step(steps, vecs, num_nn=4, margin=2)
+    assert 1 not in nn[0] and 0 not in nn[1]
+    assert 100 in nn[0]
+
+
+def test_dataloader_batches(data_root):
+    ds = PlayWindowDataset(
+        data_root / "training",
+        modalities=MODALITIES,
+        min_window_size=8,
+        max_window_size=16,
+    )
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0, prefetch=2)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["states"]["rgb_static"].shape == (4, 16, 32, 32, 3)
+    assert b["states"]["rgb_static"].dtype == np.uint8
+    assert b["actions"].shape == (4, 16, 7)
+    assert b["idx"].shape == (4,)
+
+
+def test_dataloader_percentage_and_determinism(data_root):
+    ds = PlayWindowDataset(
+        data_root / "training", modalities=MODALITIES,
+        min_window_size=8, max_window_size=16,
+    )
+    dl1 = DataLoader(ds, batch_size=4, seed=7, percentage=0.5)
+    dl2 = DataLoader(ds, batch_size=4, seed=7, percentage=0.5)
+    assert len(dl1) == (len(ds) // 2) // 4
+    b1, b2 = next(iter(dl1)), next(iter(dl2))
+    np.testing.assert_array_equal(b1["idx"], b2["idx"])
+    np.testing.assert_array_equal(b1["actions"], b2["actions"])
+
+
+def test_collate_nested():
+    items = [{"a": np.ones(2), "n": {"b": np.zeros(3)}} for _ in range(4)]
+    out = collate(items)
+    assert out["a"].shape == (4, 2) and out["n"]["b"].shape == (4, 3)
