@@ -1,0 +1,179 @@
+"""Training orchestration: epoch/step loop, device sharding, validation,
+checkpointing with auto-resume, callbacks.
+
+Replaces pl.Trainer.fit (reference: scripts/train.py:9-76 +
+config/trainer/default.yaml): one process drives the whole mesh; batches are
+sharded over the dp axis; metrics computed inside jit are already globally
+reduced (sync_dist semantics).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from tacorl_tpu.core.checkpoint import CheckpointManager
+from tacorl_tpu.core.logging import MetricsSink
+from tacorl_tpu.data.loader import device_prefetch
+from tacorl_tpu.parallel.mesh import create_mesh, shard_batch
+
+logger = logging.getLogger("tacorl_tpu")
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: Optional[int] = None,
+        max_steps: Optional[int] = None,
+        val_every_n_epochs: int = 1,
+        limit_val_batches: Optional[int] = None,
+        ckpt_manager: Optional[CheckpointManager] = None,
+        sink: Optional[MetricsSink] = None,
+        callbacks: Sequence[Any] = (),
+        seed: int = 0,
+        mesh=None,
+        ckpt_every_n_epochs: int = 1,
+        prefetch_to_device: int = 1,
+    ):
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.val_every_n_epochs = val_every_n_epochs
+        self.limit_val_batches = limit_val_batches
+        self.ckpt = ckpt_manager
+        self.sink = sink or MetricsSink()
+        self.callbacks = list(callbacks)
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.ckpt_every_n_epochs = ckpt_every_n_epochs
+        self.prefetch_to_device = prefetch_to_device
+        self.global_step = 0
+        self.epoch = 0
+        self.datamodule = None
+        self.state = None
+
+    # -- helpers -----------------------------------------------------------
+
+    def _cb(self, hook: str, *args) -> None:
+        for cb in self.callbacks:
+            getattr(cb, hook)(self, *args)
+
+    def _shard(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def _should_stop(self) -> bool:
+        return self.max_steps is not None and self.global_step >= self.max_steps
+
+    # -- main loop -----------------------------------------------------------
+
+    def fit(self, module, datamodule, resume: bool = True) -> Any:
+        self.datamodule = datamodule
+        datamodule.setup()
+        train_loader = datamodule.train_loader()
+        rng = jax.random.key(self.seed)
+
+        # init or resume (scripts/train.py:48-66 auto-resume semantics)
+        restored = False
+        if resume and self.ckpt is not None and self.ckpt.latest_step() is not None:
+            self.state = module.restore_state(self.ckpt)
+            self.global_step = int(self.state.step)
+            logger.info("resumed from step %d", self.global_step)
+            restored = True
+        if not restored:
+            example = next(iter(train_loader))
+            self.state = module.init_state(
+                jax.random.fold_in(rng, 0), self._shard(example)
+            )
+        train_step = module.make_train_step()
+        val_step = module.make_val_step()
+
+        self._cb("on_fit_start", module)
+        epoch = self.epoch
+        while not self._should_stop() and (
+            self.max_epochs is None or epoch < self.max_epochs
+        ):
+            self.epoch = epoch
+            self._cb("on_epoch_start", module, epoch)
+            t_epoch = time.time()
+            n_batches = 0
+            last_metrics: Dict[str, Any] = {}
+            batches = device_prefetch(
+                iter(train_loader), self._shard, self.prefetch_to_device
+            )
+            for batch in batches:
+                scalars = {
+                    k: jax.numpy.asarray(v, dtype=jax.numpy.float32)
+                    for k, v in module.step_scalars().items()
+                }
+                self.state, metrics = train_step(
+                    self.state, batch, rng, scalars
+                )
+                self.global_step += 1
+                n_batches += 1
+                last_metrics = metrics
+                self.sink.log(
+                    jax.tree.map(float, metrics), self.global_step, prefix="train"
+                )
+                self._cb("on_train_batch_end", module, metrics, self.global_step)
+                if self._should_stop():
+                    break
+            logger.info(
+                "epoch %d: %d steps in %.1fs",
+                epoch,
+                n_batches,
+                time.time() - t_epoch,
+            )
+
+            if (epoch + 1) % self.val_every_n_epochs == 0:
+                self.validate(module, datamodule, val_step)
+            self._cb("on_epoch_end", module, epoch)
+            if self.ckpt is not None and (
+                (epoch + 1) % self.ckpt_every_n_epochs == 0 or self._should_stop()
+            ):
+                self.ckpt.save(
+                    self.global_step,
+                    self.state,
+                    metrics=self._last_val_metrics,
+                )
+            epoch += 1
+        self._cb("on_fit_end", module)
+        return self.state
+
+    _last_val_metrics: Dict[str, float] = {}
+
+    def validate(self, module, datamodule, val_step=None) -> Dict[str, float]:
+        val_loader = datamodule.val_loader()
+        if val_loader is None:
+            return {}
+        if val_step is None:
+            val_step = module.make_val_step()
+        rng = jax.random.key(self.seed + 1)
+        agg: Dict[str, List[float]] = {}
+        outputs = []
+        for i, batch in enumerate(val_loader):
+            if self.limit_val_batches is not None and i >= self.limit_val_batches:
+                break
+            scalars = {
+                k: jax.numpy.asarray(v, dtype=jax.numpy.float32)
+                for k, v in module.step_scalars().items()
+            }
+            metrics, out = val_step(
+                self.state, self._shard(batch), jax.random.fold_in(rng, i), scalars
+            )
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+            outputs.append(jax.tree.map(np.asarray, out))
+        mean_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+        self.sink.log(mean_metrics, self.global_step, prefix="validation")
+        self._last_val_metrics = {
+            f"validation/{k}": v for k, v in mean_metrics.items()
+        }
+        self._cb(
+            "on_validation_end", module, mean_metrics, outputs, self.epoch
+        )
+        return mean_metrics

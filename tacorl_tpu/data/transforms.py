@@ -1,0 +1,91 @@
+"""Device-side per-modality transform manager.
+
+The TPU replacement for the reference TransformManager's per-phase Compose
+pipelines (utils/transforms.py:14-84 + rl_train.yaml): a config of the form
+
+    rgb_static:  {kind: rgb,    size: [128,128], pad: 6, brightness: 0.1,
+                  contrast: 0.1, hue: 0.02, jitter_prob: 1.0}
+    depth_static:{kind: depth,  size: [128,128], pad: 6,
+                  min_depth: 3.5, max_depth: 6.3}
+    robot_obs:   {kind: vector, mean: [...], std: [...]}
+
+maps every observation modality to a fused, key-driven, jit-safe function.
+Train applies the full augmentation; validation applies the deterministic
+subset (resize/scale/normalize) — mirroring the reference's
+train/validation transform split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tacorl_tpu.ops import image_aug
+
+__all__ = ["DeviceTransforms"]
+
+
+class DeviceTransforms:
+    def __init__(self, transforms: Optional[Dict[str, dict]] = None):
+        self.cfg = {k: dict(v) for k, v in (transforms or {}).items()}
+
+    def _apply_one(
+        self, key: Array, modality: str, value: Array, train: bool
+    ) -> Array:
+        cfg = self.cfg.get(modality)
+        if cfg is None:
+            return value.astype(jnp.float32) if value.dtype != jnp.float32 else value
+        kind = cfg.get("kind", "rgb" if "rgb" in modality else
+                       "depth" if "depth" in modality else "vector")
+        if kind == "rgb":
+            size = tuple(cfg.get("size", (128, 128)))
+            if train:
+                return image_aug.augment_rgb_train(
+                    key,
+                    value,
+                    out_hw=size,
+                    pad=int(cfg.get("pad", 6)),
+                    brightness=float(cfg.get("brightness", 0.1)),
+                    contrast=float(cfg.get("contrast", 0.1)),
+                    hue=float(cfg.get("hue", 0.02)),
+                    prob=float(cfg.get("jitter_prob", 1.0)),
+                )
+            return image_aug.augment_rgb_eval(value, out_hw=size)
+        if kind == "depth":
+            size = tuple(cfg.get("size", (128, 128)))
+            lo = float(cfg.get("min_depth", 0.0))
+            hi = float(cfg.get("max_depth", 2.0))
+            if train:
+                return image_aug.augment_depth_train(
+                    key, value, out_hw=size, pad=int(cfg.get("pad", 6)),
+                    min_depth=lo, max_depth=hi,
+                )
+            return image_aug.augment_depth_eval(
+                value, out_hw=size, min_depth=lo, max_depth=hi
+            )
+        if kind == "vector":
+            x = value.astype(jnp.float32)
+            mean = jnp.asarray(cfg.get("mean", 0.0), dtype=jnp.float32)
+            std = jnp.asarray(cfg.get("std", 1.0), dtype=jnp.float32)
+            std = jnp.where(std == 0.0, 1.0, std)
+            return (x - mean) / std
+        raise ValueError(f"unknown transform kind {kind!r}")
+
+    def __call__(
+        self, key: Array, states: Dict[str, Any], train: bool = True
+    ) -> Dict[str, Any]:
+        """Transform a (possibly nested) dict of modality arrays. Each leaf
+        gets an independent fold of ``key``."""
+
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, path + (k,)) for k, v in node.items()}
+            leaf_key = key
+            for i, p in enumerate(path):
+                leaf_key = jax.random.fold_in(leaf_key, hash(p) % (2**31))
+            return self._apply_one(leaf_key, path[-1], node, train)
+
+        return walk(states, ())

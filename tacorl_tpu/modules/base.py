@@ -1,0 +1,68 @@
+"""Algorithm-module base: config-driven construction + checkpoint restore.
+
+A module owns (a) flax network definitions, (b) an optax optimizer, (c) the
+jitted train/val steps, and (d) host-side glue (device transforms, schedule
+state). The trainer drives it through this protocol — the functional
+counterpart of the reference's LightningModule layer (SURVEY.md §1 L4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+
+import jax
+
+from tacorl_tpu.core.checkpoint import CheckpointManager
+from tacorl_tpu.core.train_state import TrainState
+
+__all__ = ["AlgorithmModule"]
+
+
+class AlgorithmModule:
+    name: str = "module"
+
+    def __init__(self, cfg: Dict[str, Any], full_config: Optional[dict] = None):
+        self.cfg = dict(cfg)
+        self.full_config = full_config or {}
+        self.build()
+
+    # subclasses implement ------------------------------------------------
+    def build(self) -> None:
+        raise NotImplementedError
+
+    def init_state(self, rng, example_batch) -> TrainState:
+        raise NotImplementedError
+
+    def make_train_step(self):
+        raise NotImplementedError
+
+    def make_val_step(self):
+        raise NotImplementedError
+
+    # scalar schedule values passed into the jitted step each iteration
+    # (e.g. kl_beta annealing) — callbacks mutate these host attributes
+    def step_scalars(self) -> Dict[str, float]:
+        return {}
+
+    # ----------------------------------------------------------------------
+
+    def make_state_target(self, params, aux_template=None) -> TrainState:
+        """Abstract state structure for a given params tree; subclasses with
+        aux pytrees (target networks etc.) override aux_template handling."""
+        return TrainState.create(
+            params, self.optimizer.init(params), aux=aux_template
+        )
+
+    def restore_state(
+        self, manager: CheckpointManager, step: int = -1
+    ) -> TrainState:
+        """Rebuild a TrainState from a checkpoint without example data: first
+        a raw (structure-free) restore yields params and the aux template,
+        then a structured restore fills the re-initialized optimizer state."""
+        raw = manager.restore(step if step is not None else -1)
+        params = raw["params"]
+        target = self.make_state_target(params, aux_template=raw.get("aux"))
+        return manager.restore(
+            step if step is not None else -1, target=target
+        )
