@@ -14,7 +14,11 @@ class IncreaseHorizonLinear(Callback):
 
     def on_epoch_end(self, trainer, module, epoch: int) -> None:
         ds = getattr(trainer.datamodule, "train_dataset", None)
-        if ds is None or not hasattr(ds, "goal_strategy_prob"):
+        if (
+            ds is None
+            or not hasattr(ds, "goal_strategy_prob")
+            or not hasattr(ds, "current_horizon")
+        ):
             return
         if trainer.sink is not None:
             trainer.sink.log(

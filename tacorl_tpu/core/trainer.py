@@ -89,6 +89,13 @@ class Trainer:
             self.state = module.init_state(
                 jax.random.fold_in(rng, 0), self._shard(example)
             )
+        # replicate model/optimizer state across the mesh (params ride every
+        # chip; only the batch is dp-sharded)
+        from tacorl_tpu.parallel.mesh import replicated_sharding
+
+        self.state = jax.device_put(
+            self.state, replicated_sharding(self.mesh)
+        )
         train_step = module.make_train_step()
         val_step = module.make_val_step()
 
@@ -98,6 +105,8 @@ class Trainer:
             self.max_epochs is None or epoch < self.max_epochs
         ):
             self.epoch = epoch
+            if hasattr(module, "set_epoch"):
+                module.set_epoch(epoch)
             self._cb("on_epoch_start", module, epoch)
             t_epoch = time.time()
             n_batches = 0

@@ -82,8 +82,11 @@ class PlayWindowDataset:
             }
             assert np.isclose(sum(self.goal_strategy_prob.values()), 1.0)
             if "similar_robot_obs" in self.goal_strategy_prob:
+                nn_path = Path(nn_steps_from_step_path).expanduser()
+                if not nn_path.is_absolute():
+                    nn_path = self.data_dir / nn_path
                 self.nn_steps_from_step = load_or_build_nn_index(
-                    nn_steps_from_step_path,
+                    nn_path,
                     "train" if train else "validation",
                     steps=self._all_steps(),
                     vectors_fn=self._robot_obs_matrix,

@@ -1,0 +1,500 @@
+"""Goal-conditioned offline CQL (SAC-style actor-critic + conservative
+penalty).
+
+Capability parity with the reference CQL_Offline LightningModule
+(modules/cql/cql_offline_lightning.py:24-574): twin critics with Polyak
+targets, learnable entropy temperature, conservative logsumexp penalty over
+random/policy/next-policy actions with optional Lagrange alpha', optional DR3
+and VIB regularizers, BC warm-start epochs, per-network grad clipping.
+
+TPU-first re-design:
+  * the reference's 5-6 manual ``zero_grad/backward/step`` sequences collapse
+    into ONE jitted step with per-group optax transforms — update ordering
+    (alpha -> actor -> alpha' -> critics -> Polyak) preserved exactly.
+  * the conservative term's n-action expansion re-uses each critic's
+    observation EMBEDDING instead of re-encoding the same images n times
+    (identical values to expand_obs + forward, ~n x cheaper on the conv path;
+    reference: compute_random_values/compute_policy_values :238-282).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+
+from tacorl_tpu.config import get_class
+from tacorl_tpu.core.distributions import DiagNormal, kl_diag_normal
+from tacorl_tpu.core.optimizers import GroupOptimizer
+from tacorl_tpu.core.train_state import TrainState
+from tacorl_tpu.data.transforms import DeviceTransforms
+from tacorl_tpu.modules.base import AlgorithmModule
+from tacorl_tpu.networks.actor import Actor
+from tacorl_tpu.networks.critic import Critic
+from tacorl_tpu.networks.late_fusion import build_late_fusion
+from tacorl_tpu.networks.goal_encoder import VisualGoalEncoder
+from tacorl_tpu.networks.visual_wrappers import (
+    VisualActorWrapper,
+    VisualCriticWrapper,
+)
+
+__all__ = ["CQLModule"]
+
+
+class CQLModule(AlgorithmModule):
+    name = "cql"
+
+    # -- construction --------------------------------------------------------
+
+    def build(self) -> None:
+        cfg = self.cfg
+        self.discount = float(cfg.get("discount", 0.99))
+        self.tau = float(cfg.get("tau", 0.005))
+        self.reward_scale = float(cfg.get("reward_scale", 1.0))
+        self.deterministic_backup = bool(cfg.get("deterministic_backup", False))
+        self.bc_epochs = int(cfg.get("bc_epochs", 0))
+        self.conservative_weight = float(cfg.get("conservative_weight", 1.0))
+        self.n_action_samples = int(cfg.get("n_action_samples", 10))
+        self.temp = float(cfg.get("temp", 1.0))
+        self.with_lagrange = bool(cfg.get("with_lagrange", False))
+        self.target_action_gap = float(cfg.get("lagrange_thresh", 5.0))
+        self.with_dr3 = bool(cfg.get("with_dr3", False))
+        self.dr3_coefficient = float(cfg.get("dr3_coefficient", 0.03))
+        self.with_vib = bool(cfg.get("with_vib", False))
+        self.vib_coefficient = float(cfg.get("vib_coefficient", 0.01))
+        self.action_dim = int(cfg.get("action_dim", 7))
+        self.target_entropy = float(
+            cfg.get("target_entropy", -self.action_dim)
+        )
+        self.obs_modalities = tuple(cfg.get("obs_modalities", ["rgb_static"]))
+        self.goal_modalities = tuple(cfg.get("goal_modalities", ["rgb_static"]))
+        self._epoch = 0
+
+        self.build_networks()
+
+        self.transforms = DeviceTransforms(cfg.get("transforms"))
+        actor_lr = float(cfg.get("actor_lr", 3e-4))
+        critic_lr = float(cfg.get("critic_lr", 3e-4))
+        clip = float(cfg.get("clip_grad_val", 1.0))
+        clipped_adam = lambda lr: (  # noqa: E731
+            optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+            if cfg.get("clip_grad", True)
+            else optax.adam(lr)
+        )
+        groups = {
+            "actor": clipped_adam(actor_lr),
+            "q1": clipped_adam(critic_lr),
+            "q2": clipped_adam(critic_lr),
+            "log_alpha": optax.adam(actor_lr),
+        }
+        if self.with_lagrange:
+            groups["log_alpha_prime"] = optax.adam(critic_lr)
+        self.optimizer = GroupOptimizer(groups)
+
+    def build_networks(self) -> None:
+        """Separate encoders per network (cql_offline_lightning.py:149-227);
+        subclasses (TACO-RL) override this to graft pretrained parts."""
+        cfg = self.cfg
+        vector_dims = dict(cfg.get("vector_dims", {}))
+        all_mods = list(dict.fromkeys(self.obs_modalities + self.goal_modalities))
+
+        def fusion(enc_key):
+            return build_late_fusion(
+                cfg[enc_key]["networks"], all_mods, vector_dims
+            )
+
+        actor_encoder = fusion("actor_encoder")
+        state_dim = actor_encoder.calc_state_dim(self.obs_modalities)
+        goal_dim = actor_encoder.calc_state_dim(self.goal_modalities)
+
+        def goal_encoder():
+            g_cfg = dict(cfg.get("goal_encoder", {}))
+            g_cfg.pop("_target_", None)
+            return VisualGoalEncoder(out_features=goal_dim, **g_cfg)
+
+        policy_cfg = dict(cfg.get("policy", {}))
+        policy_cls = get_class(
+            policy_cfg.pop("_target_", "tacorl_tpu.networks.actor.MLPPolicy")
+        )
+        discrete_gripper = bool(policy_cfg.get("discrete_gripper", False))
+        actor = Actor(
+            policy=policy_cls(action_dim=self.action_dim, **policy_cfg),
+            action_dim=self.action_dim,
+            state_dim=state_dim,
+            goal_dim=goal_dim,
+            discrete_gripper=discrete_gripper,
+        )
+        self.actor_net = VisualActorWrapper(
+            encoder=actor_encoder,
+            goal_encoder=goal_encoder(),
+            env_modalities=self.obs_modalities,
+            goal_modalities=self.goal_modalities,
+            actor=actor,
+        )
+        q_cfg = dict(cfg.get("q_network", {}))
+        q_cls = get_class(
+            q_cfg.pop("_target_", "tacorl_tpu.networks.critic.MLPQNetwork")
+        )
+        self.critic_net = VisualCriticWrapper(
+            encoder=fusion("critic_encoder"),
+            goal_encoder=goal_encoder(),
+            env_modalities=self.obs_modalities,
+            goal_modalities=self.goal_modalities,
+            critic=Critic(
+                q_network=q_cls(**q_cfg),
+                state_dim=state_dim,
+                goal_dim=goal_dim,
+                action_dim=self.action_dim,
+            ),
+        )
+
+    # -- state ---------------------------------------------------------------
+
+    def _example_obs(self, batch):
+        return batch["observations"]
+
+    def init_state(self, rng: Array, example_batch: Dict) -> TrainState:
+        k_aug, k_actor, k_q1, k_q2, k_act = jax.random.split(rng, 5)
+        # params are batch-size independent: init on a 2-example slice
+        example_batch = jax.tree.map(
+            lambda x: x[:2] if getattr(x, "ndim", 0) >= 1 else x, example_batch
+        )
+        obs = self.transforms(k_aug, example_batch["observations"], train=False)
+        actions = jnp.asarray(example_batch["actions"], dtype=jnp.float32)
+        actor_params = self.actor_net.init(k_actor, obs)["params"]
+        q1_params = self.critic_net.init(k_q1, obs, actions)["params"]
+        q2_params = self.critic_net.init(k_q2, obs, actions)["params"]
+        params = {
+            "actor": actor_params,
+            "q1": q1_params,
+            "q2": q2_params,
+            "log_alpha": jnp.zeros((1,)),
+        }
+        if self.with_lagrange:
+            params["log_alpha_prime"] = jnp.zeros((1,))
+        aux = {
+            "target_q1": jax.tree.map(jnp.copy, q1_params),
+            "target_q2": jax.tree.map(jnp.copy, q2_params),
+        }
+        return TrainState.create(params, self.optimizer.init(params), aux=aux)
+
+    def make_state_target(self, params, aux_template=None) -> TrainState:
+        return TrainState.create(
+            params, self.optimizer.init(params), aux=aux_template
+        )
+
+    # -- epoch / schedule -----------------------------------------------------
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def step_scalars(self) -> Dict[str, float]:
+        return {"bc_phase": 1.0 if self._epoch < self.bc_epochs else 0.0}
+
+    # -- network application helpers -------------------------------------------
+
+    def _actor_apply(self, params, method, *args, **kw):
+        return self.actor_net.apply({"params": params}, *args, method=method, **kw)
+
+    def _critic_emb(self, params, obs):
+        return self.critic_net.apply(
+            {"params": params}, obs, method="get_emb_representation"
+        )
+
+    def _critic_q_from_emb(self, params, emb, actions):
+        return self.critic_net.apply(
+            {"params": params},
+            emb,
+            actions,
+            method=lambda net, e, a: net.critic(e, a),
+        )
+
+    def _critic_apply(self, params, obs, actions):
+        return self.critic_net.apply({"params": params}, obs, actions)
+
+    # -- the update -------------------------------------------------------------
+
+    def _compute_update(
+        self,
+        state: TrainState,
+        batch: Dict,
+        rng: Array,
+        scalars: Dict[str, Array],
+        optimize: bool,
+    ):
+        """One full CQL update (cql_offline_lightning.py:470-542), returning
+        (new_state, metrics). With optimize=False only losses/metrics are
+        computed (validation_step :234-236)."""
+        cfg_n = self.n_action_samples
+        k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n, k_rand = (
+            jax.random.split(rng, 6)
+        )
+        obs = self.transforms(k_aug, batch["observations"], train=optimize)
+        next_obs = self.transforms(
+            jax.random.fold_in(k_aug, 1), batch["next_observations"],
+            train=optimize,
+        )
+        actions = batch["actions"].astype(jnp.float32)
+        rewards = batch["rewards"].astype(jnp.float32).reshape(-1, 1)
+        dones = batch["terminals"].astype(jnp.float32).reshape(-1, 1)
+        bs = actions.shape[0]
+        params, aux, opt_state = state.params, state.aux, state.opt_state
+        metrics: Dict[str, Array] = {}
+
+        # ---- 1. alpha update (compute_actor_and_alpha_loss :439-457)
+        _, curr_log_pi_ng = self._actor_apply(
+            params["actor"], "get_actions", obs, k_curr, False, True
+        )
+        curr_log_pi_ng = jax.lax.stop_gradient(curr_log_pi_ng)
+
+        def alpha_loss_fn(log_alpha):
+            return -(
+                log_alpha[0] * (curr_log_pi_ng + self.target_entropy)
+            ).mean()
+
+        alpha_loss, alpha_grad = jax.value_and_grad(alpha_loss_fn)(
+            params["log_alpha"]
+        )
+        new_log_alpha = params["log_alpha"]
+        if optimize:
+            new_log_alpha, opt_state = self.optimizer.update_group(
+                "log_alpha", alpha_grad, opt_state, params
+            )
+        alpha = jnp.exp(new_log_alpha[0])
+        metrics["alpha"] = alpha
+        metrics["alpha_loss"] = alpha_loss
+
+        # ---- 2. actor update (:459-468) — new alpha, same sample key
+        bc_phase = scalars.get("bc_phase", jnp.asarray(0.0))
+
+        def actor_loss_fn(actor_params):
+            curr_actions, curr_log_pi = self._actor_apply(
+                actor_params, "get_actions", obs, k_curr, False, True
+            )
+            q1 = self._critic_apply(params["q1"], obs, curr_actions)
+            q2 = self._critic_apply(params["q2"], obs, curr_actions)
+            q_loss = (alpha * curr_log_pi - jnp.minimum(q1, q2)).mean()
+            bc_log_prob = self._actor_apply(
+                actor_params, "log_prob", obs, actions
+            )
+            bc_loss = (alpha * curr_log_pi - bc_log_prob).mean()
+            return bc_phase * bc_loss + (1.0 - bc_phase) * q_loss
+
+        actor_loss, actor_grads = jax.value_and_grad(actor_loss_fn)(
+            params["actor"]
+        )
+        metrics["actor_loss"] = actor_loss
+        new_actor = params["actor"]
+        if optimize:
+            new_actor, opt_state = self.optimizer.update_group(
+                "actor", actor_grads, opt_state, params
+            )
+
+        # ---- 3. bellman targets (compute_critic_loss :284-314)
+        next_actions, next_log_pi = self._actor_apply(
+            params["actor"], "get_actions", next_obs, k_next_bellman, False, False
+        )
+        q_next = jnp.minimum(
+            self._critic_apply(aux["target_q1"], next_obs, next_actions),
+            self._critic_apply(aux["target_q2"], next_obs, next_actions),
+        )
+        if not self.deterministic_backup:
+            q_next = q_next - alpha * next_log_pi
+        q_target = jax.lax.stop_gradient(
+            self.reward_scale * rewards + (1.0 - dones) * self.discount * q_next
+        )
+
+        # ---- 4. conservative-sample actions (no grad; shared by both critics)
+        n_curr_actions, n_curr_log_pi = self._actor_apply(
+            params["actor"], "sample_n_with_log_prob", obs, k_curr_n, cfg_n
+        )
+        n_next_actions, n_next_log_pi = self._actor_apply(
+            params["actor"], "sample_n_with_log_prob", next_obs, k_next_n, cfg_n
+        )
+        flat_curr = n_curr_actions.reshape(-1, self.action_dim)
+        flat_next = n_next_actions.reshape(-1, self.action_dim)
+        rand_actions = jax.random.uniform(
+            k_rand, (bs * cfg_n, self.action_dim), minval=-1.0, maxval=1.0
+        )
+        if self.actor_net.actor.discrete_gripper:
+            rand_actions = rand_actions.at[..., -1].set(
+                jnp.where(rand_actions[..., -1] >= 0, 1.0, -1.0)
+            )
+        random_density = math.log(0.5**self.action_dim)
+        # (n, bs, 1) -> (bs, n)
+        curr_log_pis = jax.lax.stop_gradient(n_curr_log_pi[..., 0].T)
+        next_log_pis = jax.lax.stop_gradient(n_next_log_pi[..., 0].T)
+
+        alpha_prime = None
+        if self.with_lagrange:
+            alpha_prime = jnp.clip(
+                jnp.exp(params["log_alpha_prime"][0]), 0.0, 1e6
+            )
+            metrics["alpha_prime"] = alpha_prime
+
+        def critic_losses(q_params, name):
+            # encode obs once, expand the embedding for the n-action terms
+            emb = self._critic_emb(q_params, obs)
+            emb_n = jnp.tile(emb, (cfg_n, 1))
+            q_data = self._critic_q_from_emb(q_params, emb, actions)
+            bellman = jnp.mean((q_data - q_target) ** 2)
+
+            def n_q(acts):
+                q = self._critic_q_from_emb(q_params, emb_n, acts)
+                return q.reshape(cfg_n, bs).T  # (bs, n)
+
+            q_rand = n_q(rand_actions)
+            q_curr = n_q(flat_curr)
+            q_next_a = n_q(flat_next)
+            cat_q = jnp.concatenate(
+                [
+                    q_rand - random_density,
+                    q_curr - curr_log_pis,
+                    q_next_a - next_log_pis,
+                ],
+                axis=1,
+            )
+            cons_raw = (
+                jax.scipy.special.logsumexp(cat_q / self.temp, axis=1).mean()
+                * self.conservative_weight
+                * self.temp
+                - q_data.mean() * self.conservative_weight
+            )
+            cons = (
+                alpha_prime_sg * (cons_raw - self.target_action_gap)
+                if self.with_lagrange
+                else cons_raw
+            )
+            loss = bellman + cons
+            m = {
+                f"{name}_data": q_data.mean(),
+                f"{name}_random": q_rand.mean(),
+                f"{name}_policy": q_curr.mean(),
+                f"bellman_{name}_loss": bellman,
+                f"conservative_{name}_loss": cons,
+            }
+            if self.with_dr3:
+                emb_next = self._critic_emb(q_params, next_obs)
+                dr3 = (
+                    (emb * jax.lax.stop_gradient(emb_next)).sum(axis=1).mean()
+                    * self.dr3_coefficient
+                )
+                loss = loss + dr3
+                m[f"{name}_dr3_loss"] = dr3
+            if self.with_vib:
+                vib_dist = self.critic_net.apply(
+                    {"params": q_params}, obs, method="get_vib_distribution"
+                )
+                prior = DiagNormal(
+                    jnp.zeros_like(vib_dist.mean), jnp.ones_like(vib_dist.std)
+                )
+                vib = self.vib_coefficient * kl_diag_normal(vib_dist, prior).mean()
+                loss = loss + vib
+                m[f"{name}_vib_loss"] = vib
+            m[f"{name}_loss"] = loss
+            return loss, (cons_raw, m)
+
+        alpha_prime_sg = (
+            jax.lax.stop_gradient(alpha_prime) if self.with_lagrange else None
+        )
+
+        (q1_loss, (cons1_raw, m1)), q1_grads = jax.value_and_grad(
+            critic_losses, has_aux=True
+        )(params["q1"], "q1")
+        (q2_loss, (cons2_raw, m2)), q2_grads = jax.value_and_grad(
+            critic_losses, has_aux=True
+        )(params["q2"], "q2")
+        metrics.update(m1)
+        metrics.update(m2)
+
+        new_q1, new_q2 = params["q1"], params["q2"]
+        new_aux = aux
+        new_lap = params.get("log_alpha_prime")
+        if optimize:
+            # alpha' step uses the pre-update conservative values
+            # (compute_conservative_loss :389-404)
+            if self.with_lagrange:
+                raw1 = jax.lax.stop_gradient(cons1_raw)
+                raw2 = jax.lax.stop_gradient(cons2_raw)
+
+                def lap_loss_fn(lap):
+                    ap = jnp.clip(jnp.exp(lap[0]), 0.0, 1e6)
+                    c1 = ap * (raw1 - self.target_action_gap)
+                    c2 = ap * (raw2 - self.target_action_gap)
+                    return (-c1 - c2) * 0.5
+
+                lap_loss, lap_grad = jax.value_and_grad(lap_loss_fn)(
+                    params["log_alpha_prime"]
+                )
+                metrics["alpha_prime_loss"] = lap_loss
+                new_lap, opt_state = self.optimizer.update_group(
+                    "log_alpha_prime", lap_grad, opt_state, params
+                )
+            new_q1, opt_state = self.optimizer.update_group(
+                "q1", q1_grads, opt_state, params
+            )
+            new_q2, opt_state = self.optimizer.update_group(
+                "q2", q2_grads, opt_state, params
+            )
+            # Polyak target sync (soft_update_from_to :229-232)
+            new_aux = {
+                "target_q1": optax.incremental_update(
+                    new_q1, aux["target_q1"], self.tau
+                ),
+                "target_q2": optax.incremental_update(
+                    new_q2, aux["target_q2"], self.tau
+                ),
+            }
+
+        new_params = dict(params)
+        new_params.update(
+            {"actor": new_actor, "q1": new_q1, "q2": new_q2,
+             "log_alpha": new_log_alpha}
+        )
+        if self.with_lagrange:
+            new_params["log_alpha_prime"] = new_lap
+        new_state = TrainState(
+            step=state.step + (1 if optimize else 0),
+            params=new_params,
+            opt_state=opt_state,
+            aux=new_aux,
+        )
+        return new_state, metrics
+
+    # -- public steps -----------------------------------------------------------
+
+    def make_train_step(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, rng, scalars):
+            rng = jax.random.fold_in(rng, state.step)
+            return self._compute_update(state, batch, rng, scalars, optimize=True)
+
+        return train_step
+
+    def make_val_step(self):
+        @jax.jit
+        def val_step(state, batch, rng, scalars):
+            _, metrics = self._compute_update(
+                state, batch, rng, scalars, optimize=False
+            )
+            return metrics, {}
+
+        return val_step
+
+    # -- rollout-time policy ------------------------------------------------------
+
+    def make_policy_fn(self, deterministic: bool = True):
+        @jax.jit
+        def policy(params, obs, key):
+            obs_t = self.transforms(key, obs, train=False)
+            a, _ = self._actor_apply(
+                params["actor"], "get_actions", obs_t, key, deterministic, False
+            )
+            return a
+
+        return policy

@@ -313,6 +313,12 @@ class PlayLMPModule(AlgorithmModule):
 
     def init_state(self, rng: Array, example_batch: Dict) -> TrainState:
         k_aug, k_params, k_drop, k_loss = jax.random.split(rng, 4)
+        # parameters don't depend on batch/window size: init on a (2, 2) slice
+        # to keep the init compile tiny
+        example_batch = jax.tree.map(
+            lambda x: x[:2, :2] if getattr(x, "ndim", 0) >= 2 else x,
+            example_batch,
+        )
         states = self.transforms(k_aug, example_batch["states"], train=False)
         variables = self.net.init(
             {"params": k_params, "dropout": k_drop},
