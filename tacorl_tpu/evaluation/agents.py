@@ -1,0 +1,198 @@
+"""Policy agents: the bridge between trained modules (jitted apply fns over
+device params) and host-side env stepping.
+
+Each agent packages the jitted callables a rollout manager needs; observations
+arrive as single-env numpy dicts and are batched to size 1 on device. The
+jitted fns are compiled once per agent and reused across episodes — the
+design answer to the reference's per-step torch calls
+(evaluation/rollout_manager.py:121-141, :233-282).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacorl_tpu.modules.cem import cem_optimize
+
+__all__ = ["FlatPolicyAgent", "LatentPlanAgent", "TACORLAgent", "RILAgent"]
+
+
+def _batched(obs: Dict) -> Dict:
+    return jax.tree.map(lambda x: np.asarray(x)[None], obs)
+
+
+class FlatPolicyAgent:
+    """Deterministic flat policy (reference RLRollout, rollout_manager.py:
+    81-180), optional CEM refinement against min(Q1, Q2)."""
+
+    def __init__(self, module, state, use_cem: bool = False, cem_cfg: dict = None):
+        self.module = module
+        self.params = state.params
+        self.use_cem = use_cem
+        self.cem_cfg = dict(cem_cfg or {})
+        self._policy = module.make_policy_fn(deterministic=True)
+
+        if use_cem:
+            transforms = module.transforms
+
+            @jax.jit
+            def q_min_fn(params, obs, actions):
+                n = actions.shape[0]
+                emb1 = module._critic_emb(params["q1"], obs)
+                emb2 = module._critic_emb(params["q2"], obs)
+                tile = lambda e: jnp.tile(e, (n // e.shape[0], 1))  # noqa: E731
+                q1 = module._critic_q_from_emb(params["q1"], tile(emb1), actions)
+                q2 = module._critic_q_from_emb(params["q2"], tile(emb2), actions)
+                return jnp.minimum(q1, q2)
+
+            self._q_min = q_min_fn
+            self._eval_transform = jax.jit(
+                lambda obs: transforms(jax.random.key(0), obs, train=False)
+            )
+
+    def reset(self) -> None:
+        pass
+
+    def act(self, obs: Dict, key) -> np.ndarray:
+        batched = _batched(obs)
+        action = self._policy(self.params, batched, key)
+        if self.use_cem:
+            obs_t = self._eval_transform(batched)
+            q_fn = functools.partial(self._q_min, self.params, obs_t)
+            action = cem_optimize(
+                key,
+                q_fn,
+                action,
+                discrete_gripper=self.module.actor_net.actor.discrete_gripper,
+                **self.cem_cfg,
+            )
+        return np.asarray(action[0])
+
+
+class LatentPlanAgent:
+    """Play-LMP rollout policy (LatentPlanRollout, rollout_manager.py:
+    183-307): sample a plan from the proposal prior, stream the decoder for
+    plan_duration steps, replan."""
+
+    def __init__(self, module, state):
+        self.module = module
+        self.params = state.params
+        net, transforms = module.net, module.transforms
+
+        @jax.jit
+        def propose(params, obs, goal, key):
+            obs_t = transforms(key, obs, train=False)
+            goal_t = transforms(key, goal, train=False)
+            dist = net.apply(
+                {"params": params}, obs_t, goal_t, method="propose_plan"
+            )
+            return dist.sample(key)
+
+        @jax.jit
+        def decode(params, key, plan, obs, carry):
+            obs_t = transforms(key, obs, train=False)
+            return net.apply(
+                {"params": params}, key, plan, obs_t, carry,
+                method="decode_action",
+            )
+
+        self._propose = propose
+        self._decode = decode
+        self.carry = None
+
+    def reset(self) -> None:
+        self.carry = None
+
+    def propose_plan(self, obs: Dict, key) -> np.ndarray:
+        observation = _batched(obs["observation"])
+        goal = _batched(obs["goal"])
+        self.carry = None  # clear_hidden_state (:250)
+        return self._propose(self.params, observation, goal, key)
+
+    def decode_step(self, obs: Dict, plan, key) -> np.ndarray:
+        observation = _batched(obs["observation"])
+        action, self.carry = self._decode(
+            self.params, key, plan, observation, self.carry
+        )
+        return np.asarray(action[0])
+
+
+class TACORLAgent:
+    """TACO-RL rollout policy (rollout_manager.py:310-431): the RL actor
+    emits a latent plan (deterministic or CEM-refined against the latent-plan
+    critics), the LMP decoder streams actions."""
+
+    def __init__(self, module, state, use_cem: bool = False, cem_cfg: dict = None):
+        self.module = module
+        self.params = state.params
+        self.use_cem = use_cem
+        self.cem_cfg = dict(cem_cfg or {})
+        self._propose, self._decode = module.make_plan_and_decode_fns()
+        if use_cem:
+            transforms = module.transforms
+
+            @jax.jit
+            def q_min_fn(params, obs, plans):
+                n = plans.shape[0]
+                emb1 = module._critic_emb(params["q1"], obs)
+                emb2 = module._critic_emb(params["q2"], obs)
+                tile = lambda e: jnp.tile(e, (n // e.shape[0], 1))  # noqa: E731
+                q1 = module._critic_q_from_emb(params["q1"], tile(emb1), plans)
+                q2 = module._critic_q_from_emb(params["q2"], tile(emb2), plans)
+                return jnp.minimum(q1, q2)
+
+            self._q_min = q_min_fn
+            self._eval_transform = jax.jit(
+                lambda obs: transforms(jax.random.key(0), obs, train=False)
+            )
+        self.carry = None
+
+    def reset(self) -> None:
+        self.carry = None
+
+    def propose_plan(self, obs: Dict, key) -> np.ndarray:
+        batched = _batched(obs)
+        plan = self._propose(self.params, batched, key)
+        if self.use_cem:
+            obs_t = self._eval_transform(batched)
+            q_fn = functools.partial(self._q_min, self.params, obs_t)
+            plan = cem_optimize(key, q_fn, plan, **self.cem_cfg)
+        self.carry = None
+        return plan
+
+    def decode_step(self, obs: Dict, plan, key) -> np.ndarray:
+        observation = _batched(obs["observation"])
+        action, self.carry = self._decode(
+            self.params, key, plan, observation, self.carry
+        )
+        return np.asarray(action[0])
+
+
+class RILAgent:
+    """Relay-imitation-learning rollout policy (rollout_manager.py:434-557):
+    the high-level policy emits a latent subgoal; the low-level policy is
+    goal-conditioned on it."""
+
+    def __init__(self, module, state):
+        self.module = module
+        self.params = state.params
+        self._high, self._low = module.make_policy_fns()
+
+    def reset(self) -> None:
+        pass
+
+    def propose_plan(self, obs: Dict, key) -> np.ndarray:
+        return self._high(
+            self.params, _batched(obs["observation"]), _batched(obs["goal"]), key
+        )
+
+    def decode_step(self, obs: Dict, subgoal, key) -> np.ndarray:
+        action = self._low(
+            self.params, _batched(obs["observation"]), subgoal, key
+        )
+        return np.asarray(action[0])

@@ -1,0 +1,184 @@
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+from tacorl_tpu.envs.fake_calvin import FakeCalvinEnv
+from tacorl_tpu.evaluation.manager import EvaluationManager
+from tacorl_tpu.evaluation.rollout_generator import (
+    LongHorizonRolloutGenerator,
+    LongHorizonSequentialRolloutGenerator,
+    SingleTaskRolloutGenerator,
+)
+from tacorl_tpu.evaluation.rollout_manager import (
+    LatentPlanRollout,
+    RLRollout,
+    TACORLRollout,
+)
+from tacorl_tpu.evaluation.video import VideoRecorder
+
+
+class ExpertAgent:
+    def __init__(self, env):
+        self.env = env
+
+    def reset(self):
+        pass
+
+    def act(self, obs, key):
+        return self.env.expert_action()
+
+
+class RandomAgent:
+    def reset(self):
+        pass
+
+    def act(self, obs, key):
+        return np.random.RandomState(0).uniform(-1, 1, 7)
+
+
+def make_task_env():
+    env = FakeCalvinEnv(max_episode_steps=60)
+    start = {
+        "robot_obs": np.zeros(15, dtype=np.float32),
+        "scene_obs": np.zeros(24, dtype=np.float32),
+    }
+    goal_scene = np.zeros(24, dtype=np.float32)
+    goal_scene[0] = 1.0  # open_drawer dim crossed
+    goal = {"robot_obs": np.zeros(15, dtype=np.float32), "scene_obs": goal_scene}
+    reset_info = {"task_info": {"start_info": start, "goal_info": goal}}
+    return env, reset_info
+
+
+def test_fake_env_task_inference_and_success():
+    env, reset_info = make_task_env()
+    obs = env.reset(**reset_info)
+    # tasks inferred from state diff when not provided
+    assert env.selected_tasks == ["open_drawer"]
+    assert obs["goal"]["rgb_static"].shape == (64, 64, 3)
+    # expert completes the task
+    done = False
+    for _ in range(env.max_episode_steps):
+        obs, reward, done, info = env.step(env.expert_action())
+        if done:
+            break
+    assert info["success"] and reward == 1
+    assert info["successful_tasks"] == ["open_drawer"]
+
+
+def test_fake_env_random_actions_fail():
+    env, reset_info = make_task_env()
+    env.reset(**reset_info)
+    rs = np.random.RandomState(3)
+    for _ in range(20):
+        obs, reward, done, info = env.step(rs.uniform(-1, 1, 7))
+    assert not info["success"]
+
+
+def test_rl_rollout_manager_with_expert(tmp_path):
+    env, reset_info = make_task_env()
+    manager = RLRollout()
+    recorder = VideoRecorder()
+    out = manager.episode_rollout(
+        ExpertAgent(env), env, reset_info, recorder=recorder,
+        video_path=tmp_path / "rollout.gif", task="open_drawer",
+    )
+    assert out["success"] is True
+    assert out["episode_length"] < 60
+    assert (tmp_path / "rollout.gif").is_file()
+
+
+@pytest.fixture(scope="module")
+def eval_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalcalvin")
+    generate_synthetic_calvin(
+        root, n_train_episodes=1, n_val_episodes=1, episode_len=40, image_hw=32
+    )
+    return root / "validation"
+
+
+def test_single_task_generator(eval_data):
+    gen = SingleTaskRolloutGenerator(
+        data_dir=eval_data,
+        start_end_tasks=eval_data / "start_end_tasks.json",
+        min_seq_len=2,
+        max_seq_len=64,
+    )
+    tasks = gen.get_rollout_tasks()
+    assert len(tasks) > 0
+    task = next(iter(tasks))
+    reset_info = gen.get_reset_info(task, 0)
+    assert "start_info" in reset_info["task_info"]
+    assert reset_info["task_info"]["tasks"] == [task]
+    assert reset_info["task_info"]["start_info"]["robot_obs"].shape == (15,)
+
+
+def test_lh_generators(tmp_path):
+    # craft a chain table: monotone completed counts
+    table = {
+        "10": {"20": ["a"], "30": ["a", "b"], "40": ["a", "b", "c"]},
+        "50": {"60": ["a", "b", "c"]},  # jumps straight to 3 -> filtered out
+    }
+    data_dir = tmp_path / "frames"
+    data_dir.mkdir()
+    for step in (10, 20, 30, 40, 50, 60):
+        np.savez(
+            data_dir / f"episode_{step:07d}.npz",
+            robot_obs=np.zeros(15), scene_obs=np.zeros(24),
+        )
+    (tmp_path / "tasks.json").write_text(json.dumps(table))
+    lh = LongHorizonRolloutGenerator(
+        tasks_per_rollout=3, data_dir=data_dir,
+        start_end_tasks=tmp_path / "tasks.json",
+    )
+    assert len(lh.get_rollout_tasks()) == 2
+    assert lh.get_rollout_tasks()[0]["completed_tasks"] == ["a", "b", "c"]
+
+    seq = LongHorizonSequentialRolloutGenerator(
+        tasks_per_rollout=3, data_dir=data_dir,
+        start_end_tasks=tmp_path / "tasks.json",
+    )
+    chains = seq.get_rollout_tasks()
+    assert list(chains.keys()) == ["10"]  # the 50-chain lacks monotone counts
+    assert list(chains["10"].values()) == [["a"], ["a", "b"], ["a", "b", "c"]]
+
+
+def test_evaluation_manager_all_tasks(tmp_path):
+    env, _ = make_task_env()
+
+    class Gen:
+        def get_rollout_tasks(self):
+            return {"open_drawer": [0, 1]}
+
+        def get_num_rollouts_from_task(self, task):
+            return 2
+
+        def get_reset_info(self, task, task_idx):
+            _, reset_info = make_task_env()
+            return reset_info
+
+    manager = EvaluationManager(
+        agent=ExpertAgent(env), env=env, rollout_manager=RLRollout(),
+        single_task_generator=Gen(),
+    )
+    results = manager.evaluate_all_tasks(filename=str(tmp_path / "all.json"))
+    assert results["open_drawer"]["accuracy"] == 1.0
+    assert (tmp_path / "all.json").is_file()
+
+
+def test_latent_plan_rollout_with_real_lmp(rng):
+    from tacorl_tpu.evaluation.agents import LatentPlanAgent
+    from tacorl_tpu.modules.play_lmp import PlayLMPModule
+    from tests.test_play_lmp import TINY_CFG, make_batch
+
+    module = PlayLMPModule(dict(TINY_CFG))
+    state = module.init_state(rng, make_batch(rng))
+    agent = LatentPlanAgent(module, state)
+    env, reset_info = make_task_env()
+    manager = LatentPlanRollout(plan_duration=5)
+    env.max_episode_steps = 12
+    out = manager.episode_rollout(agent, env, reset_info)
+    assert out["episode_length"] == 12  # untrained policy: runs to the cap
+    assert isinstance(out["success"], bool)
