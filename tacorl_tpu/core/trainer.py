@@ -73,6 +73,10 @@ class Trainer:
 
     def fit(self, module, datamodule, resume: bool = True) -> Any:
         self.datamodule = datamodule
+        if hasattr(datamodule, "set_module"):
+            datamodule.set_module(module)  # online RL (train.py:43-45)
+        if hasattr(module, "populate"):
+            module.populate(None)  # warm-start buffer fill (random strategy)
         datamodule.setup()
         train_loader = datamodule.train_loader()
         rng = jax.random.key(self.seed)

@@ -19,7 +19,29 @@ import numpy as np
 
 from tacorl_tpu.modules.cem import cem_optimize
 
-__all__ = ["FlatPolicyAgent", "LatentPlanAgent", "TACORLAgent", "RILAgent"]
+__all__ = [
+    "FlatPolicyAgent",
+    "LatentPlanAgent",
+    "TACORLAgent",
+    "RILAgent",
+    "make_agent",
+]
+
+
+def make_agent(module, state, use_cem: bool = False, cem_cfg: dict = None):
+    """Agent + rollout-manager selection by module family."""
+    from tacorl_tpu.evaluation import rollout_manager as rm
+
+    name = module.name
+    if name in ("cql", "sac", "cql_online"):
+        return FlatPolicyAgent(module, state, use_cem, cem_cfg), rm.RLRollout
+    if name == "tacorl":
+        return TACORLAgent(module, state, use_cem, cem_cfg), rm.TACORLRollout
+    if name == "play_lmp":
+        return LatentPlanAgent(module, state), rm.LatentPlanRollout
+    if name == "ril":
+        return RILAgent(module, state), rm.RILRollout
+    raise ValueError(f"no agent mapping for module {name!r}")
 
 
 def _batched(obs: Dict) -> Dict:

@@ -48,6 +48,9 @@ __all__ = ["CQLModule"]
 
 class CQLModule(AlgorithmModule):
     name = "cql"
+    # SAC (modules/sac.py) reuses this exact update without the conservative
+    # penalty (sac_lightning.py:198-232 has no logsumexp term)
+    use_conservative = True
 
     # -- construction --------------------------------------------------------
 
@@ -217,6 +220,31 @@ class CQLModule(AlgorithmModule):
     def _critic_apply(self, params, obs, actions):
         return self.critic_net.apply({"params": params}, obs, actions)
 
+    def _critic_extra_losses(self, q_params, obs, next_obs, loss, cons_raw, m, name):
+        """Optional DR3 feature-dot and VIB regularizers
+        (cql_offline_lightning.py:408-437)."""
+        if self.with_dr3:
+            emb = self._critic_emb(q_params, obs)
+            emb_next = self._critic_emb(q_params, next_obs)
+            dr3 = (
+                (emb * jax.lax.stop_gradient(emb_next)).sum(axis=1).mean()
+                * self.dr3_coefficient
+            )
+            loss = loss + dr3
+            m[f"{name}_dr3_loss"] = dr3
+        if self.with_vib:
+            vib_dist = self.critic_net.apply(
+                {"params": q_params}, obs, method="get_vib_distribution"
+            )
+            prior = DiagNormal(
+                jnp.zeros_like(vib_dist.mean), jnp.ones_like(vib_dist.std)
+            )
+            vib = self.vib_coefficient * kl_diag_normal(vib_dist, prior).mean()
+            loss = loss + vib
+            m[f"{name}_vib_loss"] = vib
+        m[f"{name}_loss"] = loss
+        return loss, (cons_raw, m)
+
     # -- the update -------------------------------------------------------------
 
     def _compute_update(
@@ -310,28 +338,30 @@ class CQLModule(AlgorithmModule):
         )
 
         # ---- 4. conservative-sample actions (no grad; shared by both critics)
-        n_curr_actions, n_curr_log_pi = self._actor_apply(
-            params["actor"], "sample_n_with_log_prob", obs, k_curr_n, cfg_n
-        )
-        n_next_actions, n_next_log_pi = self._actor_apply(
-            params["actor"], "sample_n_with_log_prob", next_obs, k_next_n, cfg_n
-        )
-        flat_curr = n_curr_actions.reshape(-1, self.action_dim)
-        flat_next = n_next_actions.reshape(-1, self.action_dim)
-        rand_actions = jax.random.uniform(
-            k_rand, (bs * cfg_n, self.action_dim), minval=-1.0, maxval=1.0
-        )
-        if self.actor_net.actor.discrete_gripper:
-            rand_actions = rand_actions.at[..., -1].set(
-                jnp.where(rand_actions[..., -1] >= 0, 1.0, -1.0)
+        if self.use_conservative:
+            n_curr_actions, n_curr_log_pi = self._actor_apply(
+                params["actor"], "sample_n_with_log_prob", obs, k_curr_n, cfg_n
             )
-        random_density = math.log(0.5**self.action_dim)
-        # (n, bs, 1) -> (bs, n)
-        curr_log_pis = jax.lax.stop_gradient(n_curr_log_pi[..., 0].T)
-        next_log_pis = jax.lax.stop_gradient(n_next_log_pi[..., 0].T)
+            n_next_actions, n_next_log_pi = self._actor_apply(
+                params["actor"], "sample_n_with_log_prob", next_obs, k_next_n,
+                cfg_n,
+            )
+            flat_curr = n_curr_actions.reshape(-1, self.action_dim)
+            flat_next = n_next_actions.reshape(-1, self.action_dim)
+            rand_actions = jax.random.uniform(
+                k_rand, (bs * cfg_n, self.action_dim), minval=-1.0, maxval=1.0
+            )
+            if self.actor_net.actor.discrete_gripper:
+                rand_actions = rand_actions.at[..., -1].set(
+                    jnp.where(rand_actions[..., -1] >= 0, 1.0, -1.0)
+                )
+            random_density = math.log(0.5**self.action_dim)
+            # (n, bs, 1) -> (bs, n)
+            curr_log_pis = jax.lax.stop_gradient(n_curr_log_pi[..., 0].T)
+            next_log_pis = jax.lax.stop_gradient(n_next_log_pi[..., 0].T)
 
         alpha_prime = None
-        if self.with_lagrange:
+        if self.use_conservative and self.with_lagrange:
             alpha_prime = jnp.clip(
                 jnp.exp(params["log_alpha_prime"][0]), 0.0, 1e6
             )
@@ -340,9 +370,21 @@ class CQLModule(AlgorithmModule):
         def critic_losses(q_params, name):
             # encode obs once, expand the embedding for the n-action terms
             emb = self._critic_emb(q_params, obs)
-            emb_n = jnp.tile(emb, (cfg_n, 1))
             q_data = self._critic_q_from_emb(q_params, emb, actions)
             bellman = jnp.mean((q_data - q_target) ** 2)
+            m = {
+                f"{name}_data": q_data.mean(),
+                f"bellman_{name}_loss": bellman,
+            }
+            if not self.use_conservative:
+                loss = bellman
+                cons_raw = jnp.asarray(0.0)
+                m[f"{name}_loss"] = loss
+                return self._critic_extra_losses(
+                    q_params, obs, next_obs, loss, cons_raw, m, name
+                )
+
+            emb_n = jnp.tile(emb, (cfg_n, 1))
 
             def n_q(acts):
                 q = self._critic_q_from_emb(q_params, emb_n, acts)
@@ -371,36 +413,20 @@ class CQLModule(AlgorithmModule):
                 else cons_raw
             )
             loss = bellman + cons
-            m = {
-                f"{name}_data": q_data.mean(),
+            m.update({
                 f"{name}_random": q_rand.mean(),
                 f"{name}_policy": q_curr.mean(),
-                f"bellman_{name}_loss": bellman,
                 f"conservative_{name}_loss": cons,
-            }
-            if self.with_dr3:
-                emb_next = self._critic_emb(q_params, next_obs)
-                dr3 = (
-                    (emb * jax.lax.stop_gradient(emb_next)).sum(axis=1).mean()
-                    * self.dr3_coefficient
-                )
-                loss = loss + dr3
-                m[f"{name}_dr3_loss"] = dr3
-            if self.with_vib:
-                vib_dist = self.critic_net.apply(
-                    {"params": q_params}, obs, method="get_vib_distribution"
-                )
-                prior = DiagNormal(
-                    jnp.zeros_like(vib_dist.mean), jnp.ones_like(vib_dist.std)
-                )
-                vib = self.vib_coefficient * kl_diag_normal(vib_dist, prior).mean()
-                loss = loss + vib
-                m[f"{name}_vib_loss"] = vib
+            })
             m[f"{name}_loss"] = loss
-            return loss, (cons_raw, m)
+            return self._critic_extra_losses(
+                q_params, obs, next_obs, loss, cons_raw, m, name
+            )
 
         alpha_prime_sg = (
-            jax.lax.stop_gradient(alpha_prime) if self.with_lagrange else None
+            jax.lax.stop_gradient(alpha_prime)
+            if (self.use_conservative and self.with_lagrange)
+            else None
         )
 
         (q1_loss, (cons1_raw, m1)), q1_grads = jax.value_and_grad(
@@ -418,7 +444,7 @@ class CQLModule(AlgorithmModule):
         if optimize:
             # alpha' step uses the pre-update conservative values
             # (compute_conservative_loss :389-404)
-            if self.with_lagrange:
+            if self.use_conservative and self.with_lagrange:
                 raw1 = jax.lax.stop_gradient(cons1_raw)
                 raw2 = jax.lax.stop_gradient(cons2_raw)
 
