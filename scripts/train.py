@@ -50,7 +50,13 @@ def main(argv=None) -> None:
 
         jax.config.update("jax_platforms", cfg["platform"])
 
-    datamodule = BasicDataModule(**cfg["datamodule"])
+    dm_cfg = dict(cfg["datamodule"])
+    dm_cls = (
+        get_class(dm_cfg.pop("_target_"))
+        if "_target_" in dm_cfg
+        else BasicDataModule
+    )
+    datamodule = dm_cls(**dm_cfg)
 
     # statistics.yaml action bounds override the configured defaults
     # (reference: action_decoder_logistic.py:140-158)

@@ -40,6 +40,7 @@ class Trainer:
         mesh=None,
         ckpt_every_n_epochs: int = 1,
         prefetch_to_device: int = 1,
+        log_every_n_steps: int = 50,
     ):
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -52,6 +53,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.ckpt_every_n_epochs = ckpt_every_n_epochs
         self.prefetch_to_device = prefetch_to_device
+        self.log_every_n_steps = log_every_n_steps
         self.global_step = 0
         self.epoch = 0
         self.datamodule = None
@@ -129,9 +131,14 @@ class Trainer:
                 self.global_step += 1
                 n_batches += 1
                 last_metrics = metrics
-                self.sink.log(
-                    jax.tree.map(float, metrics), self.global_step, prefix="train"
-                )
+                # metrics stay on device between flushes — a per-step float()
+                # would serialize host and TPU every step
+                if self.global_step % self.log_every_n_steps == 0:
+                    self.sink.log(
+                        jax.tree.map(float, metrics),
+                        self.global_step,
+                        prefix="train",
+                    )
                 self._cb("on_train_batch_end", module, metrics, self.global_step)
                 if self._should_stop():
                     break

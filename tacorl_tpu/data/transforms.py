@@ -83,6 +83,8 @@ class DeviceTransforms:
         def walk(node, path):
             if isinstance(node, dict):
                 return {k: walk(v, path + (k,)) for k, v in node.items()}
+            if not path:  # flat-array observation (state-based envs)
+                return jnp.asarray(node, dtype=jnp.float32)
             leaf_key = key
             for i, p in enumerate(path):
                 leaf_key = jax.random.fold_in(leaf_key, hash(p) % (2**31))

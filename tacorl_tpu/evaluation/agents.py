@@ -195,6 +195,75 @@ class TACORLAgent:
         return np.asarray(action[0])
 
 
+class LatentPlanD4RLAgent:
+    """State-based Play-LMP rollout policy (rollout_manager_d4rl.py:107-170).
+    """
+
+    def __init__(self, module, state):
+        self.module = module
+        self.params = state.params
+        net = module.net
+
+        @jax.jit
+        def propose(params, obs, goal_xy, key):
+            dist = net.apply(
+                {"params": params}, obs, goal_xy, method="propose_plan"
+            )
+            return dist.sample(key)
+
+        @jax.jit
+        def decode(params, key, plan, obs, carry):
+            return net.apply(
+                {"params": params}, key, plan, obs, carry,
+                method="decode_action",
+            )
+
+        self._propose = propose
+        self._decode = decode
+        self.carry = None
+
+    def reset(self) -> None:
+        self.carry = None
+
+    def propose_plan_d4rl(self, obs, goal_xy, key):
+        self.carry = None
+        return self._propose(
+            self.params,
+            jnp.asarray(obs, dtype=jnp.float32)[None],
+            jnp.asarray(goal_xy, dtype=jnp.float32)[None],
+            key,
+        )
+
+    def decode_step(self, obs: Dict, plan, key) -> np.ndarray:
+        vec = jnp.asarray(obs["observation"], dtype=jnp.float32)[None]
+        action, self.carry = self._decode(self.params, key, plan, vec, self.carry)
+        return np.asarray(action[0])
+
+
+class TACORLD4RLAgent:
+    """State-based TACO-RL rollout policy (rollout_manager_d4rl.py:173-250):
+    the RL actor consumes concat(obs, goal xy)."""
+
+    def __init__(self, module, state):
+        self.module = module
+        self.params = state.params
+        self._propose, self._decode = module.make_plan_and_decode_fns()
+        self.carry = None
+
+    def reset(self) -> None:
+        self.carry = None
+
+    def propose_plan_d4rl(self, obs, goal_xy, key):
+        self.carry = None
+        obs_goal = np.concatenate([obs, goal_xy]).astype(np.float32)[None]
+        return self._propose(self.params, jnp.asarray(obs_goal), key)
+
+    def decode_step(self, obs: Dict, plan, key) -> np.ndarray:
+        vec = jnp.asarray(obs["observation"], dtype=jnp.float32)[None]
+        action, self.carry = self._decode(self.params, key, plan, vec, self.carry)
+        return np.asarray(action[0])
+
+
 class RILAgent:
     """Relay-imitation-learning rollout policy (rollout_manager.py:434-557):
     the high-level policy emits a latent subgoal; the low-level policy is

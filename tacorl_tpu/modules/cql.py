@@ -101,8 +101,12 @@ class CQLModule(AlgorithmModule):
 
     def build_networks(self) -> None:
         """Separate encoders per network (cql_offline_lightning.py:149-227);
-        subclasses (TACO-RL) override this to graft pretrained parts."""
+        subclasses (TACO-RL) override this to graft pretrained parts. With
+        ``state_based: true`` observations are flat concat(obs, goal) arrays
+        and no encoders are built (cql_offline_lightning_d4rl.py:107-128)."""
         cfg = self.cfg
+        if cfg.get("state_based", False):
+            return self._build_state_networks()
         vector_dims = dict(cfg.get("vector_dims", {}))
         all_mods = list(dict.fromkeys(self.obs_modalities + self.goal_modalities))
 
@@ -152,6 +156,42 @@ class CQLModule(AlgorithmModule):
                 q_network=q_cls(**q_cfg),
                 state_dim=state_dim,
                 goal_dim=goal_dim,
+                action_dim=self.action_dim,
+            ),
+        )
+
+    def _build_state_networks(self) -> None:
+        """Flat-vector actor/critic: array observations pass straight through
+        the wrappers (no encoders are invoked, so none get parameters)."""
+        cfg = self.cfg
+        state_dim = int(cfg["state_dim"])
+        goal_dim = int(cfg.get("goal_dim", 2))
+        empty_fusion = build_late_fusion({}, [], {})
+        policy_cfg = dict(cfg.get("policy", {}))
+        policy_cls = get_class(
+            policy_cfg.pop("_target_", "tacorl_tpu.networks.actor.MLPPolicy")
+        )
+        actor = Actor(
+            policy=policy_cls(action_dim=self.action_dim, **policy_cfg),
+            action_dim=self.action_dim,
+            state_dim=state_dim,
+            goal_dim=goal_dim,
+            discrete_gripper=bool(policy_cfg.get("discrete_gripper", False)),
+        )
+        self.actor_net = VisualActorWrapper(
+            encoder=empty_fusion, goal_encoder=None,
+            env_modalities=(), goal_modalities=(), actor=actor,
+        )
+        q_cfg = dict(cfg.get("q_network", {}))
+        q_cls = get_class(
+            q_cfg.pop("_target_", "tacorl_tpu.networks.critic.MLPQNetwork")
+        )
+        self.critic_net = VisualCriticWrapper(
+            encoder=build_late_fusion({}, [], {}), goal_encoder=None,
+            env_modalities=(), goal_modalities=(),
+            critic=Critic(
+                q_network=q_cls(**q_cfg),
+                state_dim=state_dim, goal_dim=goal_dim,
                 action_dim=self.action_dim,
             ),
         )
