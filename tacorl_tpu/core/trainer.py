@@ -105,6 +105,7 @@ class Trainer:
         train_step = module.make_train_step()
         val_step = module.make_val_step()
 
+        self._load_callback_states()
         self._cb("on_fit_start", module)
         epoch = self.epoch
         while not self._should_stop() and (
@@ -121,6 +122,7 @@ class Trainer:
                 iter(train_loader), self._shard, self.prefetch_to_device
             )
             for batch in batches:
+                self._current_batch = batch  # callbacks may probe it
                 scalars = {
                     k: jax.numpy.asarray(v, dtype=jax.numpy.float32)
                     for k, v in module.step_scalars().items()
@@ -160,11 +162,40 @@ class Trainer:
                     self.state,
                     metrics=self._last_val_metrics,
                 )
+                self._save_callback_states()
+                if hasattr(module, "save_checkpoint_extras"):
+                    module.save_checkpoint_extras()
             epoch += 1
         self._cb("on_fit_end", module)
         return self.state
 
     _last_val_metrics: Dict[str, float] = {}
+    _current_batch = None
+
+    # callback state rides next to the checkpoints
+    # (increase_horizon_uncertainty.py:87-114 semantics)
+    def _callback_state_path(self):
+        return self.ckpt.dir / "callbacks_state.json" if self.ckpt else None
+
+    def _save_callback_states(self) -> None:
+        import json
+
+        path = self._callback_state_path()
+        if path is None:
+            return
+        states = [cb.state_dict() for cb in self.callbacks]
+        if any(states):
+            path.write_text(json.dumps(states))
+
+    def _load_callback_states(self) -> None:
+        import json
+
+        path = self._callback_state_path()
+        if path is None or not path.exists():
+            return
+        states = json.loads(path.read_text())
+        for cb, state in zip(self.callbacks, states):
+            cb.load_state_dict(state)
 
     def validate(self, module, datamodule, val_step=None) -> Dict[str, float]:
         val_loader = datamodule.val_loader()

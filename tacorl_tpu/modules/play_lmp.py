@@ -393,6 +393,15 @@ class PlayLMPModule(AlgorithmModule):
                 method="compute_loss",
             )
             outputs = {"sampled_plan_pp": sampled_plan_pp, "idx": batch["idx"]}
+            if "state_info" in batch:
+                # first/last sim states let callbacks recover the tasks a
+                # window completed (play_lmp_for_rl.py:350-360 probing)
+                outputs["state_info_initial"] = {
+                    k: v[:, 0] for k, v in batch["state_info"].items()
+                }
+                outputs["state_info_final"] = {
+                    k: v[:, -1] for k, v in batch["state_info"].items()
+                }
             return metrics, outputs
 
         return val_step
