@@ -73,6 +73,10 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         def produce(batch_idx: int, indices: np.ndarray) -> Dict:
+            # packed-storage datasets expose a native batched gather
+            if getattr(self.dataset, "supports_batch", lambda: False)():
+                rng = np.random.default_rng((self.seed, self.epoch, batch_idx))
+                return self.dataset.sample_batch(indices, rng)
             items = []
             for j, idx in enumerate(indices):
                 rng = np.random.default_rng(

@@ -240,6 +240,91 @@ class PlayWindowDataset:
             return self._random_state(rng)
         return self._read_state(int(rng.choice(options)))
 
+    # -- batched fast path (packed storage + native gather) -------------------
+
+    def supports_batch(self) -> bool:
+        from tacorl_tpu.data.storage import PackedStorage
+
+        return isinstance(self.storage, PackedStorage)
+
+    def sample_batch(
+        self, indices: Sequence[int], rng: np.random.Generator
+    ) -> Dict:
+        """One multithreaded gather for the whole batch: all windows are read
+        at max_window_size, then per-item padding semantics are applied in
+        place (repeat-last frames; zero relative actions except the repeated
+        gripper channel). Identical outputs to per-item sample()+collate."""
+        indices = np.asarray(indices, dtype=np.int64)
+        b = len(indices)
+        window_sizes = np.asarray(
+            [self._window_size(int(i), rng) for i in indices], dtype=np.int64
+        )
+        starts = self.episode_lookup[indices]
+        keys = list(self.modalities)
+        if not self.real_world:
+            for k in STATE_INFO_KEYS:
+                if k not in keys:
+                    keys.append(k)
+        data = self.storage.read_window_batch(
+            starts, self.max_window_size, keys
+        )
+        # per-item pad fix-up (sampled rows beyond ws are real future frames
+        # and must be replaced by the padding semantics)
+        if self.pad:
+            for i in range(b):
+                ws = int(window_sizes[i])
+                if ws == self.max_window_size:
+                    continue
+                for m in keys:
+                    if "rel" in m:
+                        data[m][i, ws:, :-1] = 0
+                        data[m][i, ws:, -1:] = data[m][i, ws - 1, -1:]
+                    else:
+                        data[m][i, ws:] = data[m][i, ws - 1]
+        batch = {
+            "states": {
+                m: data[m] for m in self.modalities if "action" not in m
+            },
+            "actions": data[self.action_type],
+            "idx": indices,
+            "window_size": window_sizes,
+        }
+        if not self.real_world:
+            batch["state_info"] = {k: data[k] for k in STATE_INFO_KEYS}
+        if self.include_goal:
+            goal_steps = np.empty(b, dtype=np.int64)
+            disps = np.empty(b, dtype=np.int64)
+            for i in range(b):
+                strategy = rng.choice(
+                    list(self.goal_strategy_prob.keys()),
+                    p=list(self.goal_strategy_prob.values()),
+                )
+                ws = int(window_sizes[i])
+                seq_start = int(starts[i])
+                if strategy == "geometric":
+                    episode_end = self._episode_end(seq_start)
+                    disp = int(rng.geometric(p=self.goal_sampling_prob))
+                    goal_step = seq_start + (ws - 1) * disp
+                    if self.goal_augmentation:
+                        goal_step += int(rng.integers(0, 3)) - 1
+                    goal_steps[i] = min(episode_end, goal_step)
+                    disps[i] = disp
+                else:
+                    options = self.nn_steps_from_step.get(
+                        seq_start + ws - 1, []
+                    )
+                    goal_steps[i] = (
+                        int(rng.choice(options))
+                        if options
+                        else int(rng.choice(self.episode_lookup))
+                    )
+                    disps[i] = -1
+            batch["goal"] = self.storage.read_frame_batch(
+                goal_steps, self._state_keys()
+            )
+            batch["disp"] = disps
+        return batch
+
 
 def _pad_repeat(arr: np.ndarray, pad: int) -> np.ndarray:
     last = np.repeat(arr[-1:], pad, axis=0)

@@ -140,6 +140,39 @@ class PackedStorage:
         # within an episode, so a flat slice is correct
         return {k: np.asarray(self._arrays[k][row : row + n]) for k in keys}
 
+    # -- native batched paths --------------------------------------------------
+
+    def _rows_of(self, steps: Sequence[int]) -> np.ndarray:
+        rows = np.searchsorted(self.steps, np.asarray(steps, dtype=np.int64))
+        if np.any(self.steps[rows] != steps):
+            raise KeyError("step(s) not in packed storage")
+        return rows
+
+    def read_window_batch(
+        self,
+        starts: Sequence[int],
+        window: int,
+        keys: Sequence[str],
+        pad_rows: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        """B windows in one multithreaded gather (csrc/episode_loader.cpp);
+        padding repeats each window's final row."""
+        from tacorl_tpu.data.native import gather_windows
+
+        rows = self._rows_of(starts)
+        return {
+            k: gather_windows(self._arrays[k], rows, window, pad_rows)
+            for k in keys
+        }
+
+    def read_frame_batch(
+        self, steps: Sequence[int], keys: Sequence[str]
+    ) -> Dict[str, np.ndarray]:
+        from tacorl_tpu.data.native import gather_rows
+
+        rows = self._rows_of(steps)
+        return {k: gather_rows(self._arrays[k], rows) for k in keys}
+
 
 def pack_frames(
     src_dir: Union[str, Path],

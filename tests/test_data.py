@@ -179,3 +179,74 @@ def test_collate_nested():
     items = [{"a": np.ones(2), "n": {"b": np.zeros(3)}} for _ in range(4)]
     out = collate(items)
     assert out["a"].shape == (4, 2) and out["n"]["b"].shape == (4, 3)
+
+
+def test_native_gather_matches_numpy(tmp_path):
+    from tacorl_tpu.data.native import gather_rows, gather_windows, get_native_lib
+
+    arr = np.arange(200 * 6, dtype=np.float32).reshape(200, 6)
+    starts = [3, 50, 120]
+    out = gather_windows(arr, starts, window_rows=5, pad_rows=3)
+    assert out.shape == (3, 8, 6)
+    for i, s in enumerate(starts):
+        np.testing.assert_array_equal(out[i, :5], arr[s : s + 5])
+        np.testing.assert_array_equal(out[i, 5:], np.tile(arr[s + 4], (3, 1)))
+    rows = gather_rows(arr, [7, 0, 199])
+    np.testing.assert_array_equal(rows, arr[[7, 0, 199]])
+    assert get_native_lib() is not None, "native build should succeed here"
+
+
+def test_packed_batched_window_gather(data_root, tmp_path):
+    packed_dir = tmp_path / "packed_batch"
+    pack_frames(data_root / "training", packed_dir)
+    st = PackedStorage(packed_dir)
+    batch = st.read_window_batch([2, 10], window=4, keys=["rgb_static"], pad_rows=2)
+    single = st.read_window(2, 6, ["rgb_static"])
+    np.testing.assert_array_equal(batch["rgb_static"][0, :4], single["rgb_static"])
+    np.testing.assert_array_equal(
+        batch["rgb_static"][0, 4:], np.stack([single["rgb_static"][-1]] * 2)
+    )
+    frames = st.read_frame_batch([5, 11], ["robot_obs"])
+    np.testing.assert_array_equal(
+        frames["robot_obs"][1], st.read_frame(11, ["robot_obs"])["robot_obs"]
+    )
+
+
+def test_play_dataset_batched_path_matches_per_item(data_root, tmp_path):
+    packed_dir = tmp_path / "packed_ds"
+    pack_frames(data_root / "training", packed_dir)
+    kwargs = dict(
+        modalities=MODALITIES, min_window_size=8, max_window_size=16,
+        include_goal=True,
+        goal_strategy_prob={"geometric": 1.0},
+        nn_steps_from_step_path=str(tmp_path / "nn2.json"),
+    )
+    ds_packed = PlayWindowDataset(packed_dir, **kwargs)
+    assert ds_packed.supports_batch()
+    rng = np.random.default_rng(0)
+    batch = ds_packed.sample_batch(np.arange(6), rng)
+    assert batch["states"]["rgb_static"].shape == (6, 16, 32, 32, 3)
+    assert batch["actions"].shape == (6, 16, 7)
+    assert batch["goal"]["rgb_static"].shape == (6, 32, 32, 3)
+    # padding semantics: rows beyond ws repeat frame ws-1, rel actions zeroed
+    for i in range(6):
+        ws = int(batch["window_size"][i])
+        start = int(ds_packed.episode_lookup[i])
+        # alignment: first frame red channel == start step
+        assert batch["states"]["rgb_static"][i, 0, 0, 0, 0] == start % 251
+        if ws < 16:
+            np.testing.assert_array_equal(
+                batch["states"]["rgb_static"][i, ws:],
+                np.stack([batch["states"]["rgb_static"][i, ws - 1]] * (16 - ws)),
+            )
+            np.testing.assert_array_equal(batch["actions"][i, ws:, :-1], 0)
+            np.testing.assert_array_equal(
+                batch["actions"][i, ws:, -1], batch["actions"][i, ws - 1, -1]
+            )
+
+    # DataLoader uses the batched path and stays deterministic per seed
+    dl1 = DataLoader(ds_packed, batch_size=4, seed=3)
+    dl2 = DataLoader(ds_packed, batch_size=4, seed=3)
+    b1, b2 = next(iter(dl1)), next(iter(dl2))
+    np.testing.assert_array_equal(b1["actions"], b2["actions"])
+    np.testing.assert_array_equal(b1["disp"], b2["disp"])
