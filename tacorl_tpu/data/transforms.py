@@ -43,6 +43,8 @@ class DeviceTransforms:
         if kind == "rgb":
             size = tuple(cfg.get("size", (128, 128)))
             if train:
+                if cfg.get("use_pallas", False):
+                    return self._pallas_rgb_train(key, value, cfg, size)
                 return image_aug.augment_rgb_train(
                     key,
                     value,
@@ -73,6 +75,27 @@ class DeviceTransforms:
             std = jnp.where(std == 0.0, 1.0, std)
             return (x - mean) / std
         raise ValueError(f"unknown transform kind {kind!r}")
+
+    def _pallas_rgb_train(self, key, value, cfg, size):
+        """resize + shift via XLA, then the fused Pallas jitter/normalize
+        tail (ops/pallas_aug.py) — enable with ``use_pallas: true`` per
+        modality."""
+        from tacorl_tpu.ops.pallas_aug import pallas_augment_tail
+
+        k_shift, k_jit = jax.random.split(key)
+        lead = value.shape[:-3]
+        flat = value.reshape((-1,) + value.shape[-3:])
+        x = image_aug.resize_bilinear(flat, size)
+        x = image_aug.random_shift(k_shift, x, int(cfg.get("pad", 6)))
+        out = pallas_augment_tail(
+            k_jit,
+            x,
+            brightness=float(cfg.get("brightness", 0.1)),
+            contrast=float(cfg.get("contrast", 0.1)),
+            hue=float(cfg.get("hue", 0.02)),
+            prob=float(cfg.get("jitter_prob", 1.0)),
+        )
+        return out.reshape(lead + out.shape[1:])
 
     def __call__(
         self, key: Array, states: Dict[str, Any], train: bool = True

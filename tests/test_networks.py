@@ -323,3 +323,30 @@ def test_visual_wrappers_end_to_end(rng):
     cv = critic.init(rng, obs, a)
     q = critic.apply(cv, obs, a)
     assert q.shape == (2, 1)
+
+
+def test_resnet18_encoder(rng):
+    from tacorl_tpu.networks.resnet import R3MEncoder, ResNet18Encoder
+
+    enc = ResNet18Encoder(latent_dim=16, width=8)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = enc.init(rng, x, train=True)
+    assert "batch_stats" in variables
+    out, _mut = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 16)
+    out_eval = enc.apply(variables, x, train=False)
+    assert out_eval.shape == (2, 16)
+
+    r3m = R3MEncoder(latent_dim=16, hidden_dim=32, backbone_latent=32)
+    variables = r3m.init(rng, x)
+    out = r3m.apply(variables, x)
+    assert out.shape == (2, 16)
+    # backbone gradient is stopped
+    def loss(params):
+        return r3m.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}}, x).sum()
+    g = jax.grad(loss)(variables["params"])
+    backbone_norm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["backbone"])
+    )
+    head_norm = float(jnp.abs(g["head1"]["kernel"]).sum())
+    assert backbone_norm == 0.0 and head_norm > 0.0

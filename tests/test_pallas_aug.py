@@ -1,0 +1,71 @@
+"""Pallas fused-augmentation kernel vs the XLA reference implementation
+(interpret mode — the Mosaic compile path runs on real TPUs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacorl_tpu.ops.image_aug import (
+    _adjust_brightness,
+    _adjust_contrast,
+    _adjust_hue,
+    normalize,
+)
+from tacorl_tpu.ops.pallas_aug import fused_jitter_normalize
+
+
+def reference_tail(images, factors):
+    """XLA reference of the kernel semantics."""
+    x = jnp.clip(images.astype(jnp.float32) / 255.0, 0.0, 1.0)
+    out = []
+    for i in range(images.shape[0]):
+        y = x[i : i + 1]
+        bf = factors[i, 0].reshape(1, 1, 1, 1)
+        cf = factors[i, 1].reshape(1, 1, 1, 1)
+        hf = factors[i, 2].reshape(1, 1, 1, 1)
+        for slot in range(3):
+            op = int(factors[i, 3 + slot])
+            if op == 0:
+                y = _adjust_brightness(y, bf)
+            elif op == 1:
+                y = _adjust_contrast(y, cf)
+            else:
+                y = _adjust_hue(y, hf)
+        y = jnp.where(factors[i, 6] > 0.5, y, x[i : i + 1])
+        out.append(y[0])
+    return normalize(jnp.stack(out))
+
+
+@pytest.mark.parametrize("apply", [1.0, 0.0])
+def test_fused_kernel_matches_reference(rng, apply):
+    n, h, w = 4, 16, 16
+    images = jax.random.uniform(rng, (n, h, w, 3)) * 255.0
+    rs = np.random.RandomState(0)
+    perm_table = np.asarray(
+        [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]]
+    )
+    ops = perm_table[rs.randint(0, 6, n)]
+    factors = np.concatenate(
+        [
+            np.stack(
+                [
+                    rs.uniform(0.9, 1.1, n),
+                    rs.uniform(0.9, 1.1, n),
+                    rs.uniform(-0.02, 0.02, n),
+                ],
+                axis=-1,
+            ),
+            ops.astype(np.float64),
+            np.full((n, 1), apply),
+            np.zeros((n, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    planar = jnp.transpose(images, (0, 3, 1, 2))
+    out = fused_jitter_normalize(planar, jnp.asarray(factors), interpret=True)
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    expected = reference_tail(images, factors)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+    assert np.asarray(out).min() >= -1.0 - 1e-5
+    assert np.asarray(out).max() <= 1.0 + 1e-5
