@@ -35,12 +35,24 @@ BATCH = 64
 WINDOW = 16
 HW = 128
 WARMUP = 3
-ITERS = 20
+ITERS = 100
+FETCH_EVERY = 10  # host-fetch the loss to force execution (async runtimes)
 
 
 def main() -> None:
     sys.path.insert(0, ".")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import _batch, _module
+
+    platform = jax.devices()[0].platform
+    print(f"# devices: {jax.devices()} (platform={platform})", file=sys.stderr)
+    if platform == "cpu" and "cpu" not in str(
+        jax.config.jax_platforms or ""
+    ).split(",")[0]:
+        # the tunnel silently falls back to CPU when another process holds
+        # the TPU — a CPU number would be meaningless as the chip benchmark
+        print("# WARNING: TPU unavailable, fell back to CPU", file=sys.stderr)
 
     module = _module(tiny=False)
     batch = _batch(b=BATCH, t=WINDOW, hw=HW)
@@ -54,11 +66,15 @@ def main() -> None:
         state, metrics = train_step(state, device_batch, rng, scalars)
     jax.block_until_ready(state.params)
 
+    losses = []
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for i in range(ITERS):
         state, metrics = train_step(state, device_batch, rng, scalars)
+        if (i + 1) % FETCH_EVERY == 0:
+            losses.append(float(metrics["total_loss"]))  # forces execution
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(v) for v in losses)
 
     steps_per_sec = ITERS / dt
     assert np.isfinite(float(metrics["total_loss"]))

@@ -126,6 +126,54 @@ class RolloutCallback(_BaseRolloutCallback):
         )
 
 
+class RolloutD4RLCallback(Callback):
+    """In-training D4RL evaluation: N episodes -> val_accuracy + val_score
+    (reference: utils/callbacks/rollout_d4rl.py:17-182)."""
+
+    def __init__(
+        self,
+        env: Any,
+        num_rollouts: int = 10,
+        every_n_epochs: int = 1,
+        plan_duration: int = 15,
+    ):
+        self.env = instantiate(env) if isinstance(env, dict) else env
+        self.num_rollouts = num_rollouts
+        self.every_n_epochs = every_n_epochs
+        self.plan_duration = plan_duration
+
+    def on_validation_end(self, trainer, module, metrics, outputs, epoch):
+        if (epoch + 1) % self.every_n_epochs != 0:
+            return
+        from tacorl_tpu.evaluation import agents
+        from tacorl_tpu.evaluation import rollout_manager_d4rl as rm
+
+        if module.name == "play_lmp_d4rl":
+            agent = agents.LatentPlanD4RLAgent(module, trainer.state)
+            manager = rm.LatentPlanRolloutD4RL(self.plan_duration)
+        elif module.name == "tacorl_d4rl":
+            agent = agents.TACORLD4RLAgent(module, trainer.state)
+            manager = rm.TACORLRolloutD4RL(self.plan_duration)
+        else:
+            agent = agents.FlatPolicyAgent(module, trainer.state)
+            manager = rm.RLRolloutD4RL()
+        idx = list(range(self.num_rollouts))
+        rank, world = jax.process_index(), jax.process_count()
+        successes, scores = [], []
+        for _ in idx[rank::world]:
+            out = manager.episode_rollout(agent, self.env)
+            successes.append(float(out["success"]))
+            scores.append(float(out["score"]))
+        if not successes:
+            return
+        result = {
+            "val_accuracy": float(np.mean(successes)),
+            "val_score": float(np.mean(scores)),
+        }
+        trainer.sink.log(result, trainer.global_step)
+        trainer._last_val_metrics.update(result)
+
+
 class RolloutLongHorizonCallback(_BaseRolloutCallback):
     """Long-horizon chains -> per-depth LH_{i}_accuracy
     (rollout_long_horizon.py:13-132)."""

@@ -61,8 +61,17 @@ class DeviceTransforms:
             lo = float(cfg.get("min_depth", 0.0))
             hi = float(cfg.get("max_depth", 2.0))
             if train:
+                x = value
+                if cfg.get("gamma_noise", False):
+                    # DexNet multiplicative depth noise (transforms.py:204-227)
+                    x = image_aug.add_depth_noise(
+                        jax.random.fold_in(key, 3),
+                        x.astype(jnp.float32),
+                        shape=float(cfg.get("gamma_shape", 1000.0)),
+                        rate=float(cfg.get("gamma_rate", 1000.0)),
+                    )
                 return image_aug.augment_depth_train(
-                    key, value, out_hw=size, pad=int(cfg.get("pad", 6)),
+                    key, x, out_hw=size, pad=int(cfg.get("pad", 6)),
                     min_depth=lo, max_depth=hi,
                 )
             return image_aug.augment_depth_eval(
@@ -73,7 +82,13 @@ class DeviceTransforms:
             mean = jnp.asarray(cfg.get("mean", 0.0), dtype=jnp.float32)
             std = jnp.asarray(cfg.get("std", 1.0), dtype=jnp.float32)
             std = jnp.where(std == 0.0, 1.0, std)
-            return (x - mean) / std
+            x = (x - mean) / std
+            if train and float(cfg.get("noise_std", 0.0)) > 0.0:
+                x = image_aug.add_gaussian_noise(
+                    jax.random.fold_in(key, 5), x,
+                    std=float(cfg.get("noise_std", 0.0)),
+                )
+            return x
         raise ValueError(f"unknown transform kind {kind!r}")
 
     def _pallas_rgb_train(self, key, value, cfg, size):

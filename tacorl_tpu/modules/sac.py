@@ -129,10 +129,10 @@ class SACModule(CQLModule):
         return out
 
     def populate(self, params, steps: Optional[int] = None) -> None:
-        """Warm-start buffer fill (sac_lightning.py:352-376). Parallel fill
-        uses python threads over env copies when the env provides
-        ``clone()``; PyBullet envs are process-bound so the sequential path
-        is the default."""
+        """Warm-start buffer fill (sac_lightning.py:352-376); with
+        num_parallel_envs > 1 and an env factory configured, a ThreadedVecEnv
+        fills in parallel (the reference's SubprocVecEnv path
+        :297-350)."""
         if self.replay_buffer.load(self.replay_buffer_path):
             return
         if not self.populate_replay_buffer or len(self.replay_buffer) > 0:
@@ -141,9 +141,39 @@ class SACModule(CQLModule):
         if params is None and strategy not in ("random", "zeros"):
             strategy = "random"
         steps = steps if steps is not None else self.warm_start_steps
-        for _ in range(steps):
-            self.play_step(params, strategy)
+        n_parallel = int(self.cfg.get("num_parallel_envs", 1))
+        if n_parallel > 1 and self.cfg.get("env"):
+            self._populate_parallel(params, steps, strategy, n_parallel)
+        else:
+            for _ in range(steps):
+                self.play_step(params, strategy)
         self.replay_buffer.save(self.replay_buffer_path)
+
+    def _populate_parallel(self, params, steps, strategy, n_parallel) -> None:
+        from tacorl_tpu.envs.vec_env import ThreadedVecEnv
+
+        env_cfg = self.cfg["env"]
+        vec = ThreadedVecEnv(
+            [lambda: instantiate(env_cfg) for _ in range(n_parallel)]
+        )
+        observations = vec.reset()
+        filled = 0
+        while filled < steps:
+            actions = [
+                self.get_action(params, obs, strategy) for obs in observations
+            ]
+            next_obs, rewards, dones, infos = vec.step(actions)
+            for i, done in enumerate(dones):
+                terminal = (
+                    infos[i]["terminal_observation"] if done else next_obs[i]
+                )
+                self.replay_buffer.add_transition(
+                    observations[i], actions[i], terminal,
+                    float(rewards[i]), bool(done),
+                )
+                filled += 1
+            observations = next_obs
+        vec.close()
 
     # -- training: env step wrapped around the jitted update -----------------------
 

@@ -107,9 +107,17 @@ def hsv_to_rgb(hsv: Array) -> Array:
     q = v * (1.0 - f * s)
     t = v * (1.0 - (1.0 - f) * s)
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # where-chains, NOT jnp.choose: choose lowers to per-pixel gathers which
+    # are catastrophically slow on the TPU VPU
+    r = jnp.where(
+        (i == 0) | (i == 5), v, jnp.where(i == 1, q, jnp.where(i == 4, t, p))
+    )
+    g = jnp.where(
+        (i == 1) | (i == 2), v, jnp.where(i == 0, t, jnp.where(i == 3, q, p))
+    )
+    b = jnp.where(
+        (i == 3) | (i == 4), v, jnp.where(i == 2, t, jnp.where(i == 5, q, p))
+    )
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -186,6 +194,20 @@ def normalize(images: Array, mean: float = 0.5, std: float = 0.5) -> Array:
     return (images - mean) / std
 
 
+def add_gaussian_noise(key: Array, x: Array, mean=0.0, std=1.0) -> Array:
+    """Additive Gaussian noise (utils/transforms.py:184-201)."""
+    return x + jax.random.normal(key, x.shape, x.dtype) * std + mean
+
+
+def add_depth_noise(
+    key: Array, depth: Array, shape: float = 1000.0, rate: float = 1000.0
+) -> Array:
+    """Multiplicative gamma noise, DexNet-style (utils/transforms.py:204-227)
+    — one scalar multiplier per call, like the reference."""
+    mult = jax.random.gamma(key, shape) / rate
+    return depth * mult
+
+
 def scale_depth(depth: Array, min_depth: float, max_depth: float) -> Array:
     return jnp.clip((depth - min_depth) / (max_depth - min_depth), 0.0, 1.0)
 
@@ -207,16 +229,12 @@ def _jet_lut(n: int = 256) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
-_JET_LUT = None
-
-
 def colorize_depth(depth01: Array) -> Array:
-    """(..., H, W) in [0,1] -> (..., H, W, 3) jet-colorized."""
-    global _JET_LUT
-    if _JET_LUT is None:
-        _JET_LUT = _jet_lut()
+    """(..., H, W) in [0,1] -> (..., H, W, 3) jet-colorized. The LUT is a
+    compile-time constant (never cache traced values across jit scopes)."""
+    lut = _jet_lut()
     idx = jnp.clip((depth01 * 255.0).astype(jnp.int32), 0, 255)
-    return _JET_LUT[idx]
+    return lut[idx]
 
 
 # ---------------------------------------------------------------------------

@@ -250,3 +250,45 @@ def test_play_dataset_batched_path_matches_per_item(data_root, tmp_path):
     b1, b2 = next(iter(dl1)), next(iter(dl2))
     np.testing.assert_array_equal(b1["actions"], b2["actions"])
     np.testing.assert_array_equal(b1["disp"], b2["disp"])
+
+
+def test_saved_transition_dataset(tmp_path):
+    from tacorl_tpu.data.replay_buffer import ReplayBuffer
+    from tacorl_tpu.data.saved_transitions import SavedTransitionDataset
+
+    buf = ReplayBuffer(100)
+    for i in range(20):
+        obs = {"observation": {"robot_obs": np.full(15, i, np.float32)}}
+        buf.add_transition(obs, np.ones(7), obs, float(i), False)
+    buf.save(tmp_path / "rb")
+    ds = SavedTransitionDataset(tmp_path / "rb", train=True, val_percentage=0.1)
+    assert len(ds) == 18
+    item = ds.sample(0)
+    assert item["actions"].shape == (7,)
+    assert item["observations"]["observation"]["robot_obs"].shape == (15,)
+    val = SavedTransitionDataset(tmp_path / "rb", train=False, val_percentage=0.1)
+    assert len(val) == 2
+
+
+def test_transform_noise_options(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from tacorl_tpu.data.transforms import DeviceTransforms
+
+    tf = DeviceTransforms({
+        "robot_obs": {"kind": "vector", "noise_std": 0.1},
+        "depth_static": {
+            "kind": "depth", "size": [16, 16], "pad": 2, "gamma_noise": True,
+        },
+    })
+    states = {
+        "robot_obs": jnp.zeros((4, 15)),
+        "depth_static": jnp.ones((4, 20, 20)) * 1.0,
+    }
+    out_train = tf(jax.random.key(0), states, train=True)
+    out_eval = tf(jax.random.key(0), states, train=False)
+    # noise only at train time
+    assert float(jnp.abs(out_train["robot_obs"]).sum()) > 0.0
+    assert float(jnp.abs(out_eval["robot_obs"]).sum()) == 0.0
+    assert out_train["depth_static"].shape == (4, 16, 16, 3)

@@ -104,3 +104,27 @@ def test_online_datamodule(sac_module):
     batches = list(loader)
     assert len(batches) == 3
     assert batches[0]["actions"].shape == (4, 7)
+
+
+def test_threaded_vec_env_and_parallel_populate(rng):
+    from tacorl_tpu.envs.vec_env import ThreadedVecEnv
+
+    vec = ThreadedVecEnv([lambda: make_env() for _ in range(3)])
+    obs = vec.reset()
+    assert len(obs) == 3
+    actions = [np.zeros(7, np.float32) for _ in range(3)]
+    next_obs, rewards, dones, infos = vec.step(actions)
+    assert len(next_obs) == 3 and rewards.shape == (3,)
+    vec.close()
+
+    cfg = dict(SAC_CFG)
+    cfg["num_parallel_envs"] = 3
+    cfg["warm_start_steps"] = 12
+    cfg["env"] = {
+        "_target_": "tacorl_tpu.envs.fake_calvin.FakeCalvinEnv",
+        "image_hw": 32,
+        "max_episode_steps": 5,
+    }
+    module = SACModule(cfg)
+    module.populate(None)
+    assert len(module.replay_buffer) >= 12
