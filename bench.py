@@ -2,16 +2,20 @@
 """Benchmark: Play-LMP train steps/sec/chip on CALVIN-shaped play windows.
 
 Runs the production-config Play-LMP training step (batch 64, window 16,
-128x128 rgb_static, LMPVision encoder, 2048/4096 transformer posterior,
-2048-hidden 2-layer RNN logistic-mixture decoder — the defaults of
-config/trainer/default.yaml + config/experiment/play_lmp_for_rl.yaml in the
-reference) on synthetic device-resident batches, so the number isolates the
-fused compute path (augmentation + forward + backward + Adam).
+128x128 rgb_static from raw 200x200 uint8 frames, LMPVision encoder,
+2048/4096 transformer posterior, 2048-hidden 2-layer RNN logistic-mixture
+decoder — the defaults of the reference's trainer/experiment configs) on
+synthetic device-resident batches.
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-``vs_baseline`` denominator is the documented A100-PyTorch estimate in
-BASELINE.md (analytic roofline + framework overhead; to be replaced by a real
-A100 measurement when hardware is available).
+Methodology notes (hard-won on the remote-TPU tunnel):
+  * K train steps are scanned inside ONE executable
+    (AlgorithmModule.make_scanned_train_step) — per-dispatch overhead through
+    a remote-execution tunnel is seconds and would otherwise dominate;
+  * every timed call host-fetches the final loss — on this tunnel
+    block_until_ready alone does NOT guarantee remote completion.
+
+Baseline: the reference publishes no numbers; the ``vs_baseline`` denominator
+is the documented A100-PyTorch estimate in BASELINE.md.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
@@ -33,10 +37,10 @@ A100_TORCH_STEPS_PER_SEC = 20.0
 
 BATCH = 64
 WINDOW = 16
-HW = 128
-WARMUP = 3
-ITERS = 100
-FETCH_EVERY = 10  # host-fetch the loss to force execution (async runtimes)
+RAW_HW = 200  # raw CALVIN static-cam frames; resize to 128 happens on device
+SCAN_K = 10
+WARMUP_CALLS = 1
+TIMED_CALLS = 5
 
 
 def main() -> None:
@@ -47,37 +51,32 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     print(f"# devices: {jax.devices()} (platform={platform})", file=sys.stderr)
-    if platform == "cpu" and "cpu" not in str(
-        jax.config.jax_platforms or ""
-    ).split(",")[0]:
-        # the tunnel silently falls back to CPU when another process holds
-        # the TPU — a CPU number would be meaningless as the chip benchmark
-        print("# WARNING: TPU unavailable, fell back to CPU", file=sys.stderr)
 
     module = _module(tiny=False)
-    batch = _batch(b=BATCH, t=WINDOW, hw=HW)
+    batch = _batch(b=BATCH, t=WINDOW, hw=RAW_HW)
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)
-    device_batch = jax.device_put(batch)
-    train_step = module.make_train_step()
+    # stacked (K, B, ...) batch for the scanned step
+    stacked = jax.device_put(
+        jax.tree.map(lambda x: np.broadcast_to(x, (SCAN_K,) + x.shape), batch)
+    )
+    scanned = module.make_scanned_train_step()
     scalars = {"kl_beta": jnp.asarray(1e-3)}
 
-    for _ in range(WARMUP):
-        state, metrics = train_step(state, device_batch, rng, scalars)
-    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for _ in range(WARMUP_CALLS):
+        state, metrics = scanned(state, stacked, rng, scalars)
+        loss = float(metrics["total_loss"])  # forces execution
+    print(f"# warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    losses = []
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = train_step(state, device_batch, rng, scalars)
-        if (i + 1) % FETCH_EVERY == 0:
-            losses.append(float(metrics["total_loss"]))  # forces execution
-    jax.block_until_ready(state.params)
+    for _ in range(TIMED_CALLS):
+        state, metrics = scanned(state, stacked, rng, scalars)
+        loss = float(metrics["total_loss"])  # forces execution
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(v) for v in losses)
+    assert np.isfinite(loss)
 
-    steps_per_sec = ITERS / dt
-    assert np.isfinite(float(metrics["total_loss"]))
+    steps_per_sec = TIMED_CALLS * SCAN_K / dt
     print(
         json.dumps(
             {

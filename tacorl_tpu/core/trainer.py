@@ -26,6 +26,17 @@ logger = logging.getLogger("tacorl_tpu")
 __all__ = ["Trainer"]
 
 
+def _stack_chunks(batch_iter, k: int):
+    """Group K per-step batches into one stacked pytree (leaves (K, B, ...))
+    for scanned multi-step dispatch; trailing partial chunks are dropped."""
+    chunk = []
+    for batch in batch_iter:
+        chunk.append(batch)
+        if len(chunk) == k:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *chunk)
+            chunk = []
+
+
 class Trainer:
     def __init__(
         self,
@@ -41,6 +52,7 @@ class Trainer:
         ckpt_every_n_epochs: int = 1,
         prefetch_to_device: int = 1,
         log_every_n_steps: int = 50,
+        steps_per_call: int = 1,
     ):
         self.max_epochs = max_epochs
         self.max_steps = max_steps
@@ -54,6 +66,7 @@ class Trainer:
         self.ckpt_every_n_epochs = ckpt_every_n_epochs
         self.prefetch_to_device = prefetch_to_device
         self.log_every_n_steps = log_every_n_steps
+        self.steps_per_call = steps_per_call
         self.global_step = 0
         self.epoch = 0
         self.datamodule = None
@@ -102,7 +115,13 @@ class Trainer:
         self.state = jax.device_put(
             self.state, replicated_sharding(self.mesh)
         )
-        train_step = module.make_train_step()
+        use_scan = (
+            self.steps_per_call > 1 and getattr(module, "supports_scan", False)
+        )
+        if use_scan:
+            train_step = module.make_scanned_train_step()
+        else:
+            train_step = module.make_train_step()
         val_step = module.make_val_step()
 
         self._load_callback_states()
@@ -118,8 +137,19 @@ class Trainer:
             t_epoch = time.time()
             n_batches = 0
             last_metrics: Dict[str, Any] = {}
+            batch_iter = iter(train_loader)
+            put_fn = self._shard
+            if use_scan:
+                batch_iter = _stack_chunks(batch_iter, self.steps_per_call)
+                # stacked batches: scan axis leads, dp shards the batch axis
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked_sharding = NamedSharding(self.mesh, P(None, "dp"))
+                put_fn = lambda b: jax.tree.map(  # noqa: E731
+                    lambda x: jax.device_put(x, stacked_sharding), b
+                )
             batches = device_prefetch(
-                iter(train_loader), self._shard, self.prefetch_to_device
+                batch_iter, put_fn, self.prefetch_to_device
             )
             for batch in batches:
                 self._current_batch = batch  # callbacks may probe it
@@ -130,8 +160,9 @@ class Trainer:
                 self.state, metrics = train_step(
                     self.state, batch, rng, scalars
                 )
-                self.global_step += 1
-                n_batches += 1
+                step_inc = self.steps_per_call if use_scan else 1
+                self.global_step += step_inc
+                n_batches += step_inc
                 last_metrics = metrics
                 # metrics stay on device between flushes — a per-step float()
                 # would serialize host and TPU every step

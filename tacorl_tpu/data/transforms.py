@@ -92,25 +92,21 @@ class DeviceTransforms:
         raise ValueError(f"unknown transform kind {kind!r}")
 
     def _pallas_rgb_train(self, key, value, cfg, size):
-        """resize + shift via XLA, then the fused Pallas jitter/normalize
-        tail (ops/pallas_aug.py) — enable with ``use_pallas: true`` per
-        modality."""
-        from tacorl_tpu.ops.pallas_aug import pallas_augment_tail
+        """Fully fused Pallas pipeline (resize -> pad -> in-VMEM shift +
+        jitter + normalize, ops/pallas_aug.py) — enable with
+        ``use_pallas: true`` per modality."""
+        from tacorl_tpu.ops.pallas_aug import pallas_augment_rgb_train
 
-        k_shift, k_jit = jax.random.split(key)
-        lead = value.shape[:-3]
-        flat = value.reshape((-1,) + value.shape[-3:])
-        x = image_aug.resize_bilinear(flat, size)
-        x = image_aug.random_shift(k_shift, x, int(cfg.get("pad", 6)))
-        out = pallas_augment_tail(
-            k_jit,
-            x,
+        return pallas_augment_rgb_train(
+            key,
+            value,
+            out_hw=tuple(size),
+            pad=int(cfg.get("pad", 6)),
             brightness=float(cfg.get("brightness", 0.1)),
             contrast=float(cfg.get("contrast", 0.1)),
             hue=float(cfg.get("hue", 0.02)),
             prob=float(cfg.get("jitter_prob", 1.0)),
         )
-        return out.reshape(lead + out.shape[1:])
 
     def __call__(
         self, key: Array, states: Dict[str, Any], train: bool = True

@@ -45,6 +45,32 @@ class AlgorithmModule:
     def step_scalars(self) -> Dict[str, float]:
         return {}
 
+    # pure train steps (no host side effects) may be scanned K-per-dispatch;
+    # online modules with env interaction override this to False
+    supports_scan: bool = True
+
+    def make_scanned_train_step(self):
+        """K train steps per device dispatch via lax.scan over a stacked
+        batch pytree (leaves (K, B, ...)). Amortizes per-dispatch overhead —
+        essential through remote-execution tunnels, harmless on local chips.
+        Returns the final state and the last step's metrics."""
+        import functools
+
+        import jax.numpy as jnp
+
+        step = self.make_train_step()  # inlined under the outer jit
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scanned(state, stacked_batch, rng, scalars):
+            def body(carry, batch):
+                st, metrics = step(carry, batch, rng, scalars)
+                return st, metrics
+
+            state, metrics = jax.lax.scan(body, state, stacked_batch)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
+
+        return scanned
+
     # ----------------------------------------------------------------------
 
     def make_state_target(self, params, aux_template=None) -> TrainState:

@@ -27,6 +27,7 @@ __all__ = ["SACModule"]
 class SACModule(CQLModule):
     name = "sac"
     use_conservative = False
+    supports_scan = False  # env interaction inside the step (host-side)
 
     def build(self) -> None:
         cfg = self.cfg

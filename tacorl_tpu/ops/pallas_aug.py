@@ -185,6 +185,113 @@ def sample_jitter_factors(
     )
 
 
+def _shift_jitter_kernel(
+    img_ref, factors_ref, out_ref, *, out_h, out_w, interpret=False
+):
+    """v2: consumes the edge-padded planar image and additionally applies the
+    DrQ integer shift in VMEM (factors columns 7, 8 hold dy, dx). Mosaic
+    requires sublane-aligned dynamic-slice starts, so the shift is a dynamic
+    ROTATE (tpu.DynamicRotate) followed by a static slice — rows/cols that
+    wrap land beyond the sliced region. One HBM read, one write."""
+    i = pl.program_id(0)
+    dy = factors_ref[i, 7].astype(jnp.int32)
+    dx = factors_ref[i, 8].astype(jnp.int32)
+    x = img_ref[0]  # (3, Hp, Wp)
+    roll = jnp.roll if interpret else pltpu.roll
+    x = roll(x, -dy, 1)
+    x = roll(x, -dx, 2)
+    x = x[:, :out_h, :out_w]
+    x = jnp.clip(x * (1.0 / 255.0), 0.0, 1.0)
+    bf = factors_ref[i, 0]
+    cf = factors_ref[i, 1]
+    hf = factors_ref[i, 2]
+    apply = factors_ref[i, 6] > 0.5
+    y = x
+    for slot in range(3):
+        op = factors_ref[i, 3 + slot].astype(jnp.int32)
+        y = jnp.where(
+            op == 0,
+            _adjust_brightness(y, bf),
+            jnp.where(op == 1, _adjust_contrast(y, cf), _adjust_hue(y, hf)),
+        )
+    result = jnp.where(apply, y, x)
+    out_ref[0] = (result - 0.5) / 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def fused_shift_jitter_normalize(
+    padded: Array, factors: Array, pad: int, interpret: bool = False
+) -> Array:
+    """padded: (N, 3, H+2p, W+2p) planar float32 0..255 (edge-padded);
+    factors: (N, 10). Returns (N, 3, H, W) normalized."""
+    n, c, hp, wp = padded.shape
+    h, w = hp - 2 * pad, wp - 2 * pad
+    kernel = functools.partial(
+        _shift_jitter_kernel, out_h=h, out_w=w, interpret=interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, hp, wp), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, h, w), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(padded.astype(jnp.float32), factors)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "pad", "brightness", "contrast", "hue", "prob",
+                     "interpret"),
+)
+def pallas_augment_rgb_train(
+    key: Array,
+    images: Array,
+    out_hw: Tuple[int, int] = (128, 128),
+    pad: int = 6,
+    brightness: float = 0.1,
+    contrast: float = 0.1,
+    hue: float = 0.02,
+    prob: float = 1.0,
+    interpret: bool = False,
+) -> Array:
+    """Full fused train pipeline: resize (XLA, planar) -> edge pad -> Pallas
+    shift+scale+jitter+normalize. Drop-in replacement for
+    image_aug.augment_rgb_train; input uint8 (..., H, W, 3), output float32
+    NHWC in [-1, 1]."""
+    lead = images.shape[:-3]
+    flat = images.reshape((-1,) + images.shape[-3:])
+    n = flat.shape[0]
+    planar = jnp.transpose(flat, (0, 3, 1, 2)).astype(jnp.float32)
+    if planar.shape[-2:] != tuple(out_hw):
+        planar = jax.image.resize(
+            planar, (n, 3) + tuple(out_hw), "bilinear"
+        )
+    padded = jnp.pad(
+        planar, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge"
+    )
+    k_shift, k_jit = jax.random.split(key)
+    factors = sample_jitter_factors(k_jit, n, brightness, contrast, hue, prob)
+    shifts = jax.random.randint(k_shift, (n, 2), 0, 2 * pad + 1).astype(
+        jnp.float32
+    )
+    factors = jnp.concatenate(
+        [factors[:, :7], shifts, jnp.zeros((n, 1), jnp.float32)], axis=-1
+    )
+    out = fused_shift_jitter_normalize(padded, factors, pad, interpret=interpret)
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    return out.reshape(lead + out.shape[1:])
+
+
 def pallas_augment_tail(
     key: Array,
     images: Array,

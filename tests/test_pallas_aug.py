@@ -69,3 +69,60 @@ def test_fused_kernel_matches_reference(rng, apply):
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
     assert np.asarray(out).min() >= -1.0 - 1e-5
     assert np.asarray(out).max() <= 1.0 + 1e-5
+
+
+def test_fused_shift_kernel_matches_reference(rng):
+    """v2 kernel (shift + jitter + normalize) vs the XLA ops composed."""
+    from tacorl_tpu.ops.image_aug import random_shift
+    from tacorl_tpu.ops.pallas_aug import fused_shift_jitter_normalize
+
+    n, h, w, pad = 3, 12, 12, 2
+    images = jax.random.uniform(rng, (n, h, w, 3)) * 255.0
+    rs = np.random.RandomState(1)
+    perm_table = np.asarray(
+        [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]]
+    )
+    ops = perm_table[rs.randint(0, 6, n)]
+    shifts = rs.randint(0, 2 * pad + 1, (n, 2))
+    factors = np.concatenate(
+        [
+            np.stack(
+                [rs.uniform(0.9, 1.1, n), rs.uniform(0.9, 1.1, n),
+                 rs.uniform(-0.02, 0.02, n)], axis=-1,
+            ),
+            ops.astype(np.float64),
+            np.ones((n, 1)),
+            shifts.astype(np.float64),
+            np.zeros((n, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    planar = jnp.transpose(images, (0, 3, 1, 2))
+    padded = jnp.pad(planar, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    out = fused_shift_jitter_normalize(
+        padded, jnp.asarray(factors), pad, interpret=True
+    )
+    out = jnp.transpose(out, (0, 2, 3, 1))
+
+    # reference: manual shift then the jitter reference
+    shifted = []
+    pd = np.pad(np.asarray(images), ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                mode="edge")
+    for i in range(n):
+        dy, dx = shifts[i]
+        shifted.append(pd[i, dy : dy + h, dx : dx + w])
+    expected = reference_tail(jnp.asarray(np.stack(shifted)), factors)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+def test_pallas_augment_rgb_train_end_to_end(rng):
+    from tacorl_tpu.ops.pallas_aug import pallas_augment_rgb_train
+
+    imgs = (jax.random.uniform(rng, (2, 3, 40, 40, 3)) * 255).astype(jnp.uint8)
+    out = pallas_augment_rgb_train(
+        rng, imgs, out_hw=(32, 32), pad=2, interpret=True
+    )
+    assert out.shape == (2, 3, 32, 32, 3)
+    arr = np.asarray(out)
+    assert arr.min() >= -1.0 - 1e-5 and arr.max() <= 1.0 + 1e-5

@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacorl_tpu.modules.play_lmp import PlayLMPModule
+from tests.test_play_lmp import TINY_CFG, make_batch
+
+
+def test_scanned_step_matches_sequential(rng):
+    module = PlayLMPModule(dict(TINY_CFG))
+    k = 3
+    batches = [make_batch(jax.random.fold_in(rng, i)) for i in range(k)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    scalars = {"kl_beta": jnp.asarray(1e-3)}
+
+    state_a = module.init_state(rng, batches[0])
+    step = module.make_train_step()
+    for b in batches:
+        state_a, metrics_a = step(state_a, b, rng, scalars)
+
+    state_b = module.init_state(rng, batches[0])
+    scanned = module.make_scanned_train_step()
+    state_b, metrics_b = scanned(state_b, stacked, rng, scalars)
+
+    assert int(state_b.step) == k
+    np.testing.assert_allclose(
+        float(metrics_a["total_loss"]), float(metrics_b["total_loss"]),
+        rtol=1e-5,
+    )
+    # Adam amplifies benign fp-reassociation differences between the two
+    # compilations; bound drift loosely and check the k=1 case tightly below
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    # single-step scan must match a single step closely
+    state_c = module.init_state(rng, batches[0])
+    one = jax.tree.map(lambda *xs: jnp.stack(xs), *batches[:1])
+    state_c, metrics_c = scanned(state_c, one, rng, scalars)
+    state_d = module.init_state(rng, batches[0])
+    state_d, metrics_d = step(state_d, batches[0], rng, scalars)
+    np.testing.assert_allclose(
+        float(metrics_c["total_loss"]), float(metrics_d["total_loss"]), rtol=1e-5
+    )
+
+
+def test_trainer_steps_per_call(tmp_path, rng):
+    from tacorl_tpu.core.trainer import Trainer
+    from tacorl_tpu.data.datamodule import BasicDataModule
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    root = tmp_path / "data"
+    generate_synthetic_calvin(root, 1, 1, episode_len=40, image_hw=64)
+    module = PlayLMPModule(dict(TINY_CFG))
+    dm = BasicDataModule(
+        data_dir=str(root),
+        dataset={
+            "_target_": "tacorl_tpu.data.play_dataset.PlayWindowDataset",
+            "modalities": ["rgb_static", "rel_actions_world"],
+            "min_window_size": 8,
+            "max_window_size": 8,
+        },
+        batch_size=8,
+        val_percentage=0,
+    )
+    trainer = Trainer(max_steps=4, steps_per_call=2, ckpt_manager=None)
+    state = trainer.fit(module, dm)
+    assert trainer.global_step == 4
+    assert int(state.step) == 4
