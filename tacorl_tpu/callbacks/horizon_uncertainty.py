@@ -12,7 +12,6 @@ variant, networks/critic.py)."""
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List
 
 import jax

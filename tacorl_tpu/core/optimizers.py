@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
-import jax
+
 import optax
 
 __all__ = ["GroupOptimizer"]

@@ -56,7 +56,7 @@ class AlgorithmModule:
         Returns the final state and the last step's metrics."""
         import functools
 
-        import jax.numpy as jnp
+
 
         step = self.make_train_step()  # inlined under the outer jit
 
