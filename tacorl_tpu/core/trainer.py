@@ -119,6 +119,11 @@ class Trainer:
             self.steps_per_call > 1 and getattr(module, "supports_scan", False)
         )
         if use_scan:
+            # never scan more steps than one epoch provides (partial chunks
+            # are dropped; a too-large K would silently train nothing)
+            self.steps_per_call = max(1, min(self.steps_per_call, len(train_loader)))
+            use_scan = self.steps_per_call > 1
+        if use_scan:
             train_step = module.make_scanned_train_step()
         else:
             train_step = module.make_train_step()
@@ -181,6 +186,11 @@ class Trainer:
                 n_batches,
                 time.time() - t_epoch,
             )
+            if n_batches == 0:
+                raise RuntimeError(
+                    "epoch produced zero train steps — empty dataset or "
+                    "steps_per_call larger than the epoch"
+                )
 
             if (epoch + 1) % self.val_every_n_epochs == 0:
                 self.validate(module, datamodule, val_step)
