@@ -50,6 +50,9 @@ class StackedRNN(nn.Module):
     hidden_size: int
     num_layers: int = 2
     dropout: float = 0.0
+    # unroll the time scan so XLA can pipeline the small sequential matmuls
+    # (play windows are 8-32 steps; full unroll is cheap to compile)
+    unroll: int = 8
 
     def _make_cell(self, idx: int) -> nn.Module:
         init = _torch_rnn_init(self.hidden_size)
@@ -95,7 +98,7 @@ class StackedRNN(nn.Module):
                 )
             )
             final_carry, h = nn.RNN(
-                cell, return_carry=True, name=f"rnn{i}"
+                cell, return_carry=True, unroll=self.unroll, name=f"rnn{i}"
             )(h, initial_carry=init_carry)
             new_carries.append(final_carry)
             if self.dropout > 0.0 and i < self.num_layers - 1:
