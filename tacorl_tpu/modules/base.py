@@ -56,8 +56,6 @@ class AlgorithmModule:
         Returns the final state and the last step's metrics."""
         import functools
 
-
-
         step = self.make_train_step()  # inlined under the outer jit
 
         @functools.partial(jax.jit, donate_argnums=(0,))
