@@ -1,0 +1,59 @@
+"""Integrity of the real configs/ tree: every experiment composes, every
+_target_ resolves to an importable class, every evaluation preset merges."""
+
+from pathlib import Path
+
+import pytest
+
+from tacorl_tpu.config import compose, get_class
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+EXPERIMENTS = sorted(p.stem for p in (CONFIG_DIR / "experiment").glob("*.yaml"))
+
+
+def _walk_targets(node):
+    if isinstance(node, dict):
+        if "_target_" in node:
+            yield node["_target_"]
+        for v in node.values():
+            yield from _walk_targets(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _walk_targets(v)
+
+
+@pytest.mark.parametrize("experiment", EXPERIMENTS)
+def test_experiment_composes_and_targets_resolve(experiment):
+    cfg = compose(
+        CONFIG_DIR, "train",
+        overrides=[f"experiment={experiment}", "data_dir=/tmp/x",
+                   "play_lmp_dir=/tmp/lmp", "dataset_path=/tmp/d.npz"],
+    )
+    assert cfg["experiment_name"] == experiment
+    assert "module" in cfg and "_target_" in cfg["module"]
+    assert "datamodule" in cfg and "trainer" in cfg
+    for target in _walk_targets(cfg):
+        get_class(target)  # importable
+
+
+@pytest.mark.parametrize(
+    "preset", sorted(p.stem for p in (CONFIG_DIR / "evaluation").glob("*.yaml"))
+)
+def test_evaluation_presets_compose(preset):
+    cfg = compose(
+        CONFIG_DIR, "evaluate",
+        overrides=[f"evaluation={preset}", "module_path=/tmp/m",
+                   "data_dir=/tmp/x"],
+    )
+    assert cfg["eval_type"] in (
+        "short_horizon", "long_horizon", "long_horizon_sequential"
+    )
+    assert "env" in cfg and "_target_" in cfg["env"]
+
+
+def test_evaluate_d4rl_config_composes():
+    cfg = compose(
+        CONFIG_DIR, "evaluate_d4rl", overrides=["module_path=/tmp/m"]
+    )
+    assert cfg["env"]["_target_"].endswith("FakeD4RLEnv")
