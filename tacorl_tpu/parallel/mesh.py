@@ -78,6 +78,27 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_params_by_rule(params: Any, mesh: Mesh, rules) -> Any:
+    """Place a param tree on the mesh with model-parallel sharding for leaves
+    whose path matches a rule; everything else replicated.
+
+    ``rules``: list of (substring, PartitionSpec) — the first rule whose
+    substring occurs in the '/'-joined param path wins. This is the 2D
+    (dp, mp) layout hook: XLA's SPMD partitioner inserts the matching
+    collectives for the sharded matmuls (SURVEY.md §2.7 keeps TP available
+    even though the reference needs only DP)."""
+    from jax.tree_util import tree_map_with_path, keystr
+
+    def place(path, leaf):
+        key = keystr(path)
+        for substring, spec in rules:
+            if substring in key:
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return tree_map_with_path(place, params)
+
+
 def sync_metrics(metrics: Any) -> Any:
     """Mean-reduce metric scalars that were computed on sharded data.
 

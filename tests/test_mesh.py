@@ -67,3 +67,32 @@ def test_expand_obs_order_matches_reference():
     obs = jnp.array([[1.0], [2.0]])
     e = expand_obs(obs, 2)
     np.testing.assert_array_equal(np.asarray(e), [[1.0], [2.0], [1.0], [2.0]])
+
+
+def test_shard_params_by_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from tacorl_tpu.parallel.mesh import shard_params_by_rule
+
+    mesh = create_mesh(mp=2)
+    params = {
+        "dense": {"kernel": jnp.ones((4, 8)), "bias": jnp.zeros(8)},
+        "other": {"kernel": jnp.ones((4, 4))},
+    }
+    out = shard_params_by_rule(
+        params, mesh, [("dense']['kernel", P(None, "mp"))]
+    )
+    assert out["dense"]["kernel"].sharding.spec == P(None, "mp")
+    assert out["other"]["kernel"].sharding.spec == P()
+    # values unchanged
+    np.testing.assert_array_equal(np.asarray(out["dense"]["kernel"]), 1.0)
+
+
+def test_dryrun_multichip_2d():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(4)  # dp=2, mp=2 on the virtual mesh
