@@ -49,6 +49,13 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", cfg["platform"])
+    # `multihost=true` on TPU pod slices: discovers peers over DCN so
+    # jax.devices() spans the pod (the reference's DDP init, scripts/train.py
+    # :75, replaced by jax.distributed)
+    if cfg.get("multihost"):
+        import jax
+
+        jax.distributed.initialize()
 
     dm_cfg = dict(cfg["datamodule"])
     dm_cls = (

@@ -350,3 +350,33 @@ def test_resnet18_encoder(rng):
     )
     head_norm = float(jnp.abs(g["head1"]["kernel"]).sum())
     assert backbone_norm == 0.0 and head_norm > 0.0
+
+
+def test_custom_encoder_variants(rng):
+    from tacorl_tpu.networks.encoders import CustomEncoder
+
+    enc = CustomEncoder(
+        latent_dim=8, conv_channels=(8, 16), kernel_sizes=(4, 3),
+        strides=(2, 1), paddings=(0, 0), hidden_dim=16, max_pool=True,
+        normalize_output=True,
+    )
+    out, _ = enc.init_with_output(rng, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 8)
+
+    vib = CustomEncoder(
+        latent_dim=8, conv_channels=(8,), kernel_sizes=(4,), strides=(2,),
+        paddings=(0,), vib=True,
+    )
+    variables = vib.init({"params": rng, "sample": rng}, jnp.zeros((2, 16, 16, 3)))
+    out = vib.apply(variables, jnp.zeros((2, 16, 16, 3)), rngs={"sample": rng})
+    assert out.shape == (2, 8)
+
+
+def test_deep_spatial_encoder(rng):
+    from tacorl_tpu.networks.encoders import DeepSpatialEncoder
+
+    enc = DeepSpatialEncoder()
+    x = jnp.zeros((2, 48, 48, 3))
+    variables = enc.init(rng, x, train=True)
+    out, _ = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 32)  # 16 channels x 2 coords
