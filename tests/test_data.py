@@ -292,3 +292,50 @@ def test_transform_noise_options(rng):
     assert float(jnp.abs(out_train["robot_obs"]).sum()) > 0.0
     assert float(jnp.abs(out_eval["robot_obs"]).sum()) == 0.0
     assert out_train["depth_static"].shape == (4, 16, 16, 3)
+
+
+def test_all_seven_goal_strategies(data_root, tmp_path):
+    from tacorl_tpu.data.transition_dataset import GoalCondTransitionDataset
+
+    # language annotations for task_future / filtering
+    lang_dir = data_root / "training" / "lang_annotations"
+    lang_dir.mkdir(exist_ok=True)
+    ann = {
+        "language": {"task": ["open_drawer", "move_slider_left"]},
+        "info": {"indx": [(0, 15), (20, 35)]},
+    }
+    np.save(lang_dir / "auto_lang_ann.npy", ann)
+
+    rng = np.random.default_rng(0)
+    for strategy in (
+        "random", "geometric", "increasing_horizon", "similar_robot_obs",
+        "next_state", "episode_future", "task_future",
+    ):
+        ds = GoalCondTransitionDataset(
+            data_root / "training",
+            modalities=MODALITIES,
+            goal_strategy_prob={strategy: 1.0},
+            nn_steps_from_step_path=str(tmp_path / f"nn_{strategy}.json"),
+            initial_horizon=4,
+        )
+        item = ds.sample(5, rng)
+        assert item["observations"]["goal"]["rgb_static"].shape == (32, 32, 3)
+        assert item["rewards"] in (0.0, 1.0), strategy
+        if strategy == "next_state":
+            # goal == next step -> reward 1 by construction
+            assert item["rewards"] == 1.0
+    # horizon curriculum hooks
+    ds.increase_horizon(epoch=3)
+    assert ds.current_horizon == 4 + 3 * 4
+    ds.increase_horizon_to(10_000)
+    assert ds.current_horizon == ds.max_horizon
+
+    # task filtering restricts possible steps to annotated spans
+    ds_f = GoalCondTransitionDataset(
+        data_root / "training",
+        modalities=MODALITIES,
+        goal_strategy_prob={"geometric": 1.0},
+        filter_by_tasks=True,
+        tasks=["open_drawer"],
+    )
+    assert set(ds_f.possible_steps) <= set(range(0, 16))
