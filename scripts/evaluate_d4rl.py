@@ -51,7 +51,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", cfg["platform"])
     module, state = load_module_from_checkpoint(
-        cfg["module_path"], step=int(cfg.get("epoch", -1))
+        cfg["module_path"], step=(lambda e: e if e == "best" else int(e))(cfg.get("epoch", -1))
     )
     env = instantiate(cfg["env"])
     agent, manager = build_agent_and_manager(module, state, cfg)

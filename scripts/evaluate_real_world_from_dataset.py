@@ -74,7 +74,7 @@ def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(REPO_ROOT / "configs", "evaluate_real_world", overrides)
     module, state = load_module_from_checkpoint(
-        cfg["module_path"], step=int(cfg.get("epoch", -1))
+        cfg["module_path"], step=(lambda e: e if e == "best" else int(e))(cfg.get("epoch", -1))
     )
     env = instantiate(cfg["env"])
     agent, manager_cls = make_agent(module, state)

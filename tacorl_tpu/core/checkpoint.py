@@ -125,7 +125,9 @@ class CheckpointManager:
         return fn(scored, key=scored.get)
 
     def restore(self, step: Optional[int] = None, target: Any = None) -> Any:
-        if step is None or step < 0:
+        if step == "best":
+            step = self.best_step()
+        elif step is None or (isinstance(step, int) and step < 0):
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.ckpt_dir}")

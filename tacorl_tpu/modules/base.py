@@ -84,9 +84,8 @@ class AlgorithmModule:
         """Rebuild a TrainState from a checkpoint without example data: first
         a raw (structure-free) restore yields params and the aux template,
         then a structured restore fills the re-initialized optimizer state."""
-        raw = manager.restore(step if step is not None else -1)
+        step = step if step is not None else -1
+        raw = manager.restore(step)
         params = raw["params"]
         target = self.make_state_target(params, aux_template=raw.get("aux"))
-        return manager.restore(
-            step if step is not None else -1, target=target
-        )
+        return manager.restore(step, target=target)

@@ -147,3 +147,16 @@ def test_checkpoint_retention(tmp_path, rng, module):
     assert 2 in steps  # best by metric
     assert len(steps) == 2
     assert manager.best_step() == 2
+
+
+def test_checkpoint_best_step_restore(module, rng, tmp_path):
+    batch = make_batch(rng)
+    state = module.init_state(rng, batch)
+    manager = CheckpointManager(
+        tmp_path / "run", max_to_keep=3, monitor="acc", mode="max"
+    )
+    for step, acc in ((1, 0.2), (2, 0.9), (3, 0.4)):
+        object.__setattr__(state, "step", jnp.asarray(step))
+        manager.save(step, state, metrics={"acc": acc})
+    restored = module.restore_state(manager, step="best")
+    assert int(restored.step) == 2
