@@ -54,6 +54,11 @@ class AlgorithmModule:
         batch pytree (leaves (K, B, ...)). Amortizes per-dispatch overhead —
         essential through remote-execution tunnels, harmless on local chips.
         Returns the final state and the last step's metrics."""
+        if not self.supports_scan:
+            raise RuntimeError(
+                f"{type(self).__name__} interacts with the environment "
+                "inside its train step and cannot be scanned"
+            )
         import functools
 
         step = self.make_train_step()  # inlined under the outer jit

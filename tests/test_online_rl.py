@@ -128,3 +128,10 @@ def test_threaded_vec_env_and_parallel_populate(rng):
     module = SACModule(cfg)
     module.populate(None)
     assert len(module.replay_buffer) >= 12
+
+
+def test_sac_refuses_scanned_step(sac_module):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="cannot be scanned"):
+        sac_module.make_scanned_train_step()
