@@ -66,3 +66,70 @@ def test_trainer_steps_per_call(tmp_path, rng):
     state = trainer.fit(module, dm)
     assert trainer.global_step == 4
     assert int(state.step) == 4
+
+
+def test_trainer_resume_restores_callback_state(tmp_path, rng):
+    """Auto-resume integration: a second fit() picks up the optimizer state
+    from the checkpoint AND the callback state from callbacks_state.json
+    (reference semantics: increase_horizon_uncertainty.py:87-114 persists
+    callback state inside Lightning checkpoints)."""
+    from tacorl_tpu.callbacks.base import Callback
+    from tacorl_tpu.core.checkpoint import CheckpointManager
+    from tacorl_tpu.core.trainer import Trainer
+    from tacorl_tpu.data.datamodule import BasicDataModule
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    class CountingCallback(Callback):
+        def __init__(self):
+            self.batches_seen = 0
+            self.restored_from = None
+
+        def on_train_batch_end(self, trainer, module, metrics, step):
+            self.batches_seen += 1
+
+        def state_dict(self):
+            return {"batches_seen": self.batches_seen}
+
+        def load_state_dict(self, state):
+            self.batches_seen = state["batches_seen"]
+            self.restored_from = state["batches_seen"]
+
+    root = tmp_path / "data"
+    generate_synthetic_calvin(root, 1, 1, episode_len=40, image_hw=64)
+
+    def make_parts():
+        module = PlayLMPModule(dict(TINY_CFG))
+        dm = BasicDataModule(
+            data_dir=str(root),
+            dataset={
+                "_target_": "tacorl_tpu.data.play_dataset.PlayWindowDataset",
+                "modalities": ["rgb_static", "rel_actions_world"],
+                "min_window_size": 8,
+                "max_window_size": 8,
+            },
+            batch_size=8,
+            val_percentage=0,
+        )
+        return module, dm
+
+    run_dir = tmp_path / "run"
+    module, dm = make_parts()
+    cb1 = CountingCallback()
+    t1 = Trainer(
+        max_steps=2, ckpt_manager=CheckpointManager(run_dir), callbacks=[cb1]
+    )
+    t1.fit(module, dm)
+    assert cb1.batches_seen == 2
+    assert (run_dir / "callbacks_state.json").exists()
+
+    # fresh module + callback: resume must restore both kinds of state
+    module2, dm2 = make_parts()
+    cb2 = CountingCallback()
+    t2 = Trainer(
+        max_steps=4, ckpt_manager=CheckpointManager(run_dir), callbacks=[cb2]
+    )
+    state = t2.fit(module2, dm2)
+    assert cb2.restored_from == 2  # callback state came from JSON
+    assert cb2.batches_seen == 4  # 2 restored + 2 new steps
+    assert int(state.step) == 4  # train state resumed from checkpoint
+    assert t2.global_step == 4
