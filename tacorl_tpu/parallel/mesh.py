@@ -56,8 +56,12 @@ def create_mesh(
         if n % mp != 0:
             raise ValueError(f"{n} devices not divisible by mp={mp}")
         dp = n // mp
-    use = dp * mp
-    grid = np.asarray(devices[:use]).reshape(dp, mp)
+    if dp * mp != n:
+        raise ValueError(
+            f"mesh shape (dp={dp}, mp={mp}) needs {dp * mp} devices, "
+            f"got {n}; pass the exact device list"
+        )
+    grid = np.asarray(devices).reshape(dp, mp)
     return Mesh(grid, axis_names=("dp", "mp"))
 
 

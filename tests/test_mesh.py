@@ -96,3 +96,42 @@ def test_dryrun_multichip_2d():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(4)  # dp=2, mp=2 on the virtual mesh
+
+
+def test_create_mesh_rejects_wrong_device_count():
+    import pytest
+
+    with pytest.raises(ValueError, match="needs"):
+        create_mesh(dp=2, mp=1, devices=jax.devices()[:3])
+
+
+def test_dryrun_multichip_driver_env():
+    """Regression for MULTICHIP_r01.json: the driver calls dryrun_multichip
+    in a process whose ambient backend has ONE device (the axon TPU tunnel).
+    Simulate that with a subprocess pinned to a 1-device CPU backend and no
+    forced device count — dryrun must rescue itself via its forced-CPU child
+    re-exec and still build the (dp=4, mp=2) mesh."""
+    import os
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+    env.pop("TACORL_DRYRUN_CHILD", None)
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; assert len(jax.devices()) == 1; "
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+    assert "'mp': 2" in proc.stdout
