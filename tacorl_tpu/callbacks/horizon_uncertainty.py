@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tacorl_tpu.callbacks.base import Callback
+from tacorl_tpu.utils import stable_fold as _stable_fold
 
 __all__ = ["IncreaseHorizonUncertainty"]
 
@@ -57,7 +58,11 @@ class IncreaseHorizonUncertainty(Callback):
                         {"params": params[name]},
                         obs,
                         actions,
-                        rngs={"dropout": jax.random.fold_in(key, i * 2 + hash(name) % 97)},
+                        rngs={
+                            "dropout": jax.random.fold_in(
+                                key, i * 2 + _stable_fold(name) % 97
+                            )
+                        },
                     )
                     preds.append(q)
             stacked = jnp.stack(preds, axis=0)  # (2n, B, 1)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from tacorl_tpu.ops import image_aug
+from tacorl_tpu.utils import stable_fold as _stable_fold
 
 __all__ = ["DeviceTransforms"]
 
@@ -132,8 +133,11 @@ class DeviceTransforms:
             if not path:  # flat-array observation (state-based envs)
                 return jnp.asarray(node, dtype=jnp.float32)
             leaf_key = key
-            for i, p in enumerate(path):
-                leaf_key = jax.random.fold_in(leaf_key, hash(p) % (2**31))
+            for p in path:
+                # Stable digest fold: Python's str hash is per-process
+                # salted (PYTHONHASHSEED), which would make augmentation
+                # streams differ across restarts/hosts.
+                leaf_key = jax.random.fold_in(leaf_key, _stable_fold(p))
             return self._apply_one(leaf_key, path[-1], node, train)
 
         return walk(states, ())

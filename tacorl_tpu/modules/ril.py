@@ -24,6 +24,7 @@ from tacorl_tpu.core.train_state import TrainState
 from tacorl_tpu.data.transforms import DeviceTransforms
 from tacorl_tpu.modules.base import AlgorithmModule
 from tacorl_tpu.networks.actor import Actor
+from tacorl_tpu.utils import stable_fold
 from tacorl_tpu.networks.goal_encoder import VisualGoalEncoder
 from tacorl_tpu.networks.late_fusion import LateFusion, build_late_fusion
 
@@ -149,7 +150,7 @@ class RILModule(AlgorithmModule):
     def _transform_batch(self, key, batch, train):
         out = dict(batch)
         for k in ("obs", "low_level_goal", "high_level_goal", "high_level_action"):
-            out[k] = self.transforms(jax.random.fold_in(key, hash(k) % 2**31),
+            out[k] = self.transforms(jax.random.fold_in(key, stable_fold(k)),
                                      batch[k], train=train)
         out["low_level_action"] = batch["low_level_action"].astype(jnp.float32)
         return out
