@@ -77,8 +77,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host-side batch pytree onto the mesh, sharded over dp on the
     leading axis of every leaf (per-host input pipeline -> device, replacing
-    DataLoader+DDP scatter)."""
+    DataLoader+DDP scatter).
+
+    Single-process: a plain ``device_put`` scatters the full batch over the
+    local mesh. Multi-host pod (``jax.process_count() > 1``, after
+    ``jax.distributed.initialize``): each host feeds only its LOCAL shard —
+    leaves here have the per-host batch size — and
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    without any cross-host data movement (the reference's analogue is the
+    per-rank DataLoader under DDP, scripts/train.py:75 upstream)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

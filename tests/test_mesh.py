@@ -135,3 +135,26 @@ def test_dryrun_multichip_driver_env():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout
     assert "'mp': 2" in proc.stdout
+
+
+def test_shard_batch_multihost_path(monkeypatch):
+    """Exercise the jax.make_array_from_process_local_data branch of
+    shard_batch (taken on real pods where each host feeds its local shard;
+    on this single-process 8-device mesh the local data IS the global
+    batch, so the result must equal the device_put path bit-for-bit)."""
+    mesh = create_mesh()
+    batch = {
+        "x": np.arange(32, dtype=np.float32).reshape(16, 2),
+        "nested": {"y": np.arange(16, dtype=np.int32).reshape(16, 1)},
+    }
+    expect = shard_batch(batch, mesh)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = shard_batch(batch, mesh)
+    assert got["x"].sharding.spec == P("dp")
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(expect["x"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["nested"]["y"]), np.asarray(expect["nested"]["y"])
+    )
+    # a global mean over the assembled array matches host math
+    out = jax.jit(lambda b: jnp.mean(b["x"]))(got)
+    assert float(out) == float(np.mean(batch["x"]))
