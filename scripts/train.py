@@ -67,7 +67,7 @@ def main(argv=None) -> None:
 
     # statistics.yaml action bounds override the configured defaults
     # (reference: action_decoder_logistic.py:140-158)
-    stats = datamodule.statistics
+    stats = getattr(datamodule, "statistics", None)
     if stats and "act_max_bound" in stats and "action_decoder" in cfg["module"]:
         cfg["module"]["action_decoder"]["act_max_bound"] = stats["act_max_bound"]
         cfg["module"]["action_decoder"]["act_min_bound"] = stats["act_min_bound"]
