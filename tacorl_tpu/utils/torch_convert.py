@@ -37,6 +37,13 @@ __all__ = [
     "convert_goal_encoder",
     "convert_plan_recognition_transformer",
     "convert_action_decoder_logistic",
+    "convert_visual_actor",
+    "convert_visual_critic",
+    "assemble_play_lmp",
+    "assemble_cql",
+    "assemble_tacorl",
+    "assemble_ril",
+    "load_lightning_state_dict",
 ]
 
 
@@ -270,6 +277,163 @@ def assemble_play_lmp(
         "action_decoder": convert_action_decoder_logistic(
             sd, "action_decoder.", ad_num_layers, ad_rnn_type, discrete_gripper
         ),
+    }
+
+
+def _convert_late_fusion(
+    sd: Mapping, prefix: str, modalities: List[str]
+) -> Dict[str, Any]:
+    """Reference LateFusion ``networks.<mod>`` dict -> our LateFusion
+    ``encoders_{i}_1`` submodule names (modalities in config order)."""
+    return {
+        f"encoders_{i}_1": convert_lmp_vision_encoder(
+            sd, f"{prefix}networks.{modality}."
+        )
+        for i, modality in enumerate(modalities)
+    }
+
+
+def convert_visual_actor(
+    sd: Mapping,
+    prefix: str,
+    modalities: List[str],
+    policy_num_layers: int = 3,
+    discrete_gripper: bool = True,
+) -> Dict[str, Any]:
+    """VisualActorWrapper: actor.encoder.networks.* / actor.goal_encoder.mlp.*
+    / actor.actor.policy.* (visual_actor_wrapper.py:18-24 upstream)."""
+    return {
+        "encoder": _convert_late_fusion(sd, f"{prefix}encoder.", modalities),
+        "goal_encoder": convert_goal_encoder(sd, f"{prefix}goal_encoder."),
+        "actor": {
+            "policy": convert_mlp_policy(
+                sd, f"{prefix}actor.policy.", policy_num_layers,
+                discrete_gripper,
+            )
+        },
+    }
+
+
+def convert_visual_critic(
+    sd: Mapping,
+    prefix: str,
+    modalities: List[str],
+    q_num_layers: int = 3,
+) -> Dict[str, Any]:
+    """VisualCriticWrapper: <q>.encoder.* / <q>.goal_encoder.mlp.* /
+    <q>.critic.Q.* (visual_critic_wrapper.py:19-21, critic.py:22 upstream;
+    our Critic names the Q trunk ``q_network``)."""
+    return {
+        "encoder": _convert_late_fusion(sd, f"{prefix}encoder.", modalities),
+        "goal_encoder": convert_goal_encoder(sd, f"{prefix}goal_encoder."),
+        "critic": {
+            "q_network": convert_q_network(
+                sd, f"{prefix}critic.Q.", q_num_layers
+            )
+        },
+    }
+
+
+def assemble_cql(
+    sd: Mapping,
+    modalities: Optional[List[str]] = None,
+    policy_num_layers: int = 3,
+    q_num_layers: int = 3,
+    discrete_gripper: bool = True,
+):
+    """Full reference CQL_Offline checkpoint -> (params, aux) matching
+    CQLModule.init_state's tree (cql_offline_lightning.py:185-228 upstream:
+    actor/q1/q2 trainable, target_q1/target_q2 Polyak copies, log_alpha,
+    log_alpha_prime when with_lagrange)."""
+    modalities = modalities or ["rgb_static"]
+    params: Dict[str, Any] = {
+        "actor": convert_visual_actor(
+            sd, "actor.", modalities, policy_num_layers, discrete_gripper
+        ),
+        "q1": convert_visual_critic(sd, "q1.", modalities, q_num_layers),
+        "q2": convert_visual_critic(sd, "q2.", modalities, q_num_layers),
+        "log_alpha": to_np(sd["log_alpha"]).reshape(1),
+    }
+    if "log_alpha_prime" in sd:
+        params["log_alpha_prime"] = to_np(sd["log_alpha_prime"]).reshape(1)
+    aux = {
+        "target_q1": convert_visual_critic(
+            sd, "target_q1.", modalities, q_num_layers
+        ),
+        "target_q2": convert_visual_critic(
+            sd, "target_q2.", modalities, q_num_layers
+        ),
+    }
+    return params, aux
+
+
+def assemble_tacorl(
+    sd: Mapping,
+    modalities: Optional[List[str]] = None,
+    policy_num_layers: int = 3,
+    q_num_layers: int = 3,
+    pr_num_layers: int = 2,
+    pr_num_heads: int = 8,
+    ad_num_layers: int = 2,
+    ad_rnn_type: str = "rnn",
+    ad_discrete_gripper: bool = True,
+):
+    """Full reference TACORL checkpoint -> (params, aux) matching
+    TACORLModule.init_state's tree (tacorl.py:46-117 upstream: frozen
+    play-lmp parts at top level, plan-space actor = plan_proposal inside a
+    VisualActorWrapper whose policy emits the latent plan — continuous-only,
+    no gripper head)."""
+    modalities = modalities or ["rgb_static"]
+    params, aux = assemble_cql(
+        sd, modalities, policy_num_layers, q_num_layers,
+        discrete_gripper=False,
+    )
+    params.update(
+        {
+            "perceptual_encoder": _convert_late_fusion(
+                sd, "perceptual_encoder.", modalities
+            ),
+            "plan_recognition": convert_plan_recognition_transformer(
+                sd, "plan_recognition.", pr_num_layers, pr_num_heads
+            ),
+            "goal_encoder": convert_goal_encoder(sd, "goal_encoder."),
+            "action_decoder": convert_action_decoder_logistic(
+                sd, "action_decoder.", ad_num_layers, ad_rnn_type,
+                ad_discrete_gripper,
+            ),
+        }
+    )
+    return params, aux
+
+
+def assemble_ril(
+    sd: Mapping,
+    modalities: Optional[List[str]] = None,
+    hl_num_layers: int = 3,
+    ll_num_layers: int = 3,
+    ll_discrete_gripper: bool = True,
+) -> Dict[str, Any]:
+    """Full reference RelayImitationLearning checkpoint -> RILNet params
+    (relay_imitation_learning.py:55-91 upstream: shared perceptual + goal
+    encoders, Actor high/low-level policies; the high-level 'action' is a
+    goal embedding so its policy head is continuous-only)."""
+    modalities = modalities or ["rgb_static"]
+    return {
+        "perceptual_encoder": _convert_late_fusion(
+            sd, "perceptual_encoder.", modalities
+        ),
+        "goal_encoder": convert_goal_encoder(sd, "goal_encoder."),
+        "high_level_policy": {
+            "policy": convert_mlp_policy(
+                sd, "high_level_policy.policy.", hl_num_layers, False
+            )
+        },
+        "low_level_policy": {
+            "policy": convert_mlp_policy(
+                sd, "low_level_policy.policy.", ll_num_layers,
+                ll_discrete_gripper,
+            )
+        },
     }
 
 
