@@ -37,19 +37,53 @@ def test_experiment_composes_and_targets_resolve(experiment):
         get_class(target)  # importable
 
 
+PROTOCOL_FIELDS = {
+    "easy": ("short_horizon", 50, 180),
+    "hard": ("short_horizon", 50, 180),
+    "lh_easy": ("long_horizon", 1000, 300),
+    "lh_seq_easy": ("long_horizon_sequential", 500, 180),
+}
+
+
 @pytest.mark.parametrize(
-    "preset", sorted(p.stem for p in (CONFIG_DIR / "evaluation").glob("*.yaml"))
+    "preset",
+    sorted(
+        p.stem
+        for p in (CONFIG_DIR / "evaluation").glob("*.yaml")
+        if not p.stem.endswith("_d4rl")
+    ),
 )
 def test_evaluation_presets_compose(preset):
     cfg = compose(
         CONFIG_DIR, "evaluate",
-        overrides=[f"evaluation={preset}", "module_path=/tmp/m",
-                   "data_dir=/tmp/x"],
+        overrides=[f"evaluation={preset}", "data_dir=/tmp/x"],
     )
     assert cfg["eval_type"] in (
         "short_horizon", "long_horizon", "long_horizon_sequential"
     )
     assert "env" in cfg and "_target_" in cfg["env"]
+    # matrix presets must pin the protocol knobs and the module path
+    parts = preset.split("_", 1)
+    if parts[0] in ("tacorl", "cql", "lmp", "ril") and len(parts) == 2:
+        module, protocol = parts
+        eval_type, max_rollouts, max_steps = PROTOCOL_FIELDS[protocol]
+        assert cfg["eval_type"] == eval_type
+        assert cfg["max_rollouts"] == max_rollouts
+        assert cfg["env"]["max_episode_steps"] == max_steps
+        assert cfg["filename"] == f"{module}_{protocol}_tasks.json"
+        from tacorl_tpu.config import resolve
+
+        resolved = resolve(cfg)
+        assert resolved["module_path"].endswith(f"models/{module}")
+
+
+@pytest.mark.parametrize("preset", ["lmp_d4rl", "tacorl_d4rl"])
+def test_evaluation_d4rl_presets_compose(preset):
+    cfg = compose(
+        CONFIG_DIR, "evaluate_d4rl", overrides=[f"evaluation={preset}"]
+    )
+    assert cfg["plan_duration"] == 7
+    assert cfg["filename"] == f"{preset}.json"
 
 
 def test_evaluate_d4rl_config_composes():
