@@ -90,6 +90,16 @@ class DataLoader:
                 yield produce(bi, b)
             return
 
+        if self.num_threads > 1:
+            # Pooled producers (reference: num_workers=4 DataLoader
+            # processes, basic_data_module.py:132-158). Threads suffice
+            # here because the per-frame npz decode releases the GIL in
+            # zlib/numpy; batches are yielded strictly in order and every
+            # batch's RNG is keyed by (seed, epoch, batch_idx[, item_idx]),
+            # so parallelism cannot change the produced values.
+            yield from self._iter_pooled(batches, produce)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -116,6 +126,27 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_pooled(self, batches, produce) -> Iterator[Dict]:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.prefetch + self.num_threads
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            pending: "collections.deque" = collections.deque()
+            it = iter(enumerate(batches))
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < window:
+                    try:
+                        bi, b = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending.append(pool.submit(produce, bi, b))
+                if not pending:
+                    return
+                yield pending.popleft().result()
 
 
 def device_prefetch(iterator: Iterator, put_fn: Callable[[Any], Any], depth: int = 1):

@@ -181,6 +181,38 @@ def test_collate_nested():
     assert out["a"].shape == (4, 2) and out["n"]["b"].shape == (4, 3)
 
 
+def test_dataloader_thread_pool_matches_sequential(data_root):
+    """num_threads>1 (pooled per-item producers) must yield bit-identical
+    batches in the same order as the single-thread path — RNG is keyed per
+    (seed, epoch, batch, item), never by worker."""
+    ds = PlayWindowDataset(
+        data_root / "training", modalities=MODALITIES,
+        min_window_size=8, max_window_size=16,
+    )
+    seq = list(DataLoader(ds, batch_size=4, seed=11, prefetch=0))
+    pooled = list(DataLoader(ds, batch_size=4, seed=11, prefetch=2, num_threads=4))
+    assert len(seq) == len(pooled)
+    for b1, b2 in zip(seq, pooled):
+        np.testing.assert_array_equal(b1["idx"], b2["idx"])
+        np.testing.assert_array_equal(b1["actions"], b2["actions"])
+        np.testing.assert_array_equal(
+            b1["states"]["rgb_static"], b2["states"]["rgb_static"]
+        )
+
+
+def test_dataloader_thread_pool_surfaces_errors(data_root):
+    class Boom:
+        def __len__(self):
+            return 16
+
+        def sample(self, idx, rng):
+            raise RuntimeError("boom")
+
+    dl = DataLoader(Boom(), batch_size=4, seed=0, prefetch=1, num_threads=3)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(dl)
+
+
 def test_native_gather_matches_numpy(tmp_path):
     from tacorl_tpu.data.native import gather_rows, gather_windows, get_native_lib
 
