@@ -303,6 +303,12 @@ class PlayWindowDataset:
                 seq_start = int(starts[i])
                 if strategy == "geometric":
                     episode_end = self._episode_end(seq_start)
+                    if episode_end is None:
+                        # same fallback as _future_state (per-item path):
+                        # a start outside every episode gets a random goal
+                        goal_steps[i] = int(rng.choice(self.episode_lookup))
+                        disps[i] = -1
+                        continue
                     disp = int(rng.geometric(p=self.goal_sampling_prob))
                     goal_step = seq_start + (ws - 1) * disp
                     if self.goal_augmentation:

@@ -294,19 +294,26 @@ class CQLModule(AlgorithmModule):
         rng: Array,
         scalars: Dict[str, Array],
         optimize: bool,
+        apply_transforms: bool = True,
     ):
         """One full CQL update (cql_offline_lightning.py:470-542), returning
         (new_state, metrics). With optimize=False only losses/metrics are
-        computed (validation_step :234-236)."""
+        computed (validation_step :234-236). ``apply_transforms=False`` takes
+        pre-transformed observations (TACORL transforms the whole window once
+        before relabeling, so re-augmenting here would double-jitter)."""
         cfg_n = self.n_action_samples
         k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n, k_rand = (
             jax.random.split(rng, 6)
         )
-        obs = self.transforms(k_aug, batch["observations"], train=optimize)
-        next_obs = self.transforms(
-            jax.random.fold_in(k_aug, 1), batch["next_observations"],
-            train=optimize,
-        )
+        if apply_transforms:
+            obs = self.transforms(k_aug, batch["observations"], train=optimize)
+            next_obs = self.transforms(
+                jax.random.fold_in(k_aug, 1), batch["next_observations"],
+                train=optimize,
+            )
+        else:
+            obs = batch["observations"]
+            next_obs = batch["next_observations"]
         actions = batch["actions"].astype(jnp.float32)
         rewards = batch["rewards"].astype(jnp.float32).reshape(-1, 1)
         dones = batch["terminals"].astype(jnp.float32).reshape(-1, 1)

@@ -32,7 +32,6 @@ from tacorl_tpu.config import get_class
 from tacorl_tpu.core.checkpoint import load_module_from_checkpoint
 from tacorl_tpu.core.optimizers import GroupOptimizer
 from tacorl_tpu.core.train_state import TrainState
-from tacorl_tpu.data.transforms import DeviceTransforms
 from tacorl_tpu.modules.cql import CQLModule
 from tacorl_tpu.networks.critic import Critic
 from tacorl_tpu.networks.late_fusion import build_late_fusion
@@ -246,12 +245,9 @@ class TACORLModule(CQLModule):
     def _compute_update_core(self, state, batch, rng, scalars, optimize):
         """CQL update without re-running image transforms (they were applied
         to the full window already)."""
-        saved = self.transforms
-        try:
-            self.transforms = DeviceTransforms(None)
-            return super()._compute_update(state, batch, rng, scalars, optimize)
-        finally:
-            self.transforms = saved
+        return super()._compute_update(
+            state, batch, rng, scalars, optimize, apply_transforms=False
+        )
 
     def _compute_update(self, state, batch, rng, scalars, optimize):
         return self._tacorl_update(state, batch, rng, scalars, optimize)
