@@ -138,12 +138,26 @@ class _PlanDecodeRollout(_BaseRolloutManager):
 
 
 class LatentPlanRollout(_PlanDecodeRollout):
-    """Play-LMP rollout (rollout_manager.py:183-307)."""
+    """Play-LMP rollout (rollout_manager.py:183-307).
+
+    Per-manager audit vs the reference: the replanning loop is identical for
+    all three manager shapes upstream (propose every ``plan_duration`` env
+    steps — 15 at eval per config/evaluation/{lmp,tacorl,ril}.yaml:14 — inner
+    decode/act per step, break on done/max_steps). The behavior differences
+    live in the agent, as upstream: LMP samples the plan *stochastically*
+    from the proposal prior and clears the decoder hidden state on replan
+    (:249-250) — see LatentPlanAgent.propose_plan."""
 
 
 class TACORLRollout(_PlanDecodeRollout):
-    """TACO-RL rollout (rollout_manager.py:310-431)."""
+    """TACO-RL rollout (rollout_manager.py:310-431): the actor emits the plan
+    deterministically (or CEM-refined, :363-375); decoder carry cleared on
+    replan (:377) — see TACORLAgent."""
 
 
 class RILRollout(_PlanDecodeRollout):
-    """Relay-IL rollout (rollout_manager.py:434-557)."""
+    """Relay-IL rollout (rollout_manager.py:434-557): subgoal renewal shares
+    the same ``plan_duration`` cadence as the plan managers upstream
+    (:501); the high level is deterministic (:497-499) and the low level is
+    a stateless per-step policy — no hidden state to clear (see RILAgent,
+    which accordingly has no carry)."""
