@@ -52,7 +52,15 @@ def main() -> None:
     platform = jax.devices()[0].platform
     print(f"# devices: {jax.devices()} (platform={platform})", file=sys.stderr)
 
-    module = _module(tiny=False)
+    # A/B hook: JSON dict merged into the action-decoder config, e.g.
+    #   TACORL_BENCH_AD='{"bf16_matmul": false, "hoisted_rnn": false}'
+    import json as _json
+    import os as _os
+
+    ad_overrides = _json.loads(_os.environ.get("TACORL_BENCH_AD", "null"))
+    if ad_overrides:
+        print(f"# ad_overrides: {ad_overrides}", file=sys.stderr)
+    module = _module(tiny=False, ad_overrides=ad_overrides)
     batch = _batch(b=BATCH, t=WINDOW, hw=RAW_HW)
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)

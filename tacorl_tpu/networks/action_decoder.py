@@ -41,6 +41,69 @@ def _torch_rnn_init(hidden_size: int):
     return init
 
 
+class _RecurrentKernel(nn.Module):
+    """Bare (H, H) kernel scoped so the param tree reads ``<name>/kernel`` —
+    layout-compatible with flax SimpleCell's ``h`` Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param(
+            "kernel", _torch_rnn_init(self.features),
+            (self.features, self.features),
+        )
+
+
+class _HoistedSimpleRNNLayer(nn.Module):
+    """ReLU RNN layer with the input projection hoisted out of the time scan.
+
+    ``z = x @ W_i + b`` for the whole (B, T) window runs as ONE large
+    MXU-friendly matmul; the sequential lax.scan then carries only the
+    (B, H) @ (H, H) recurrence — half the scan-chain FLOPs of the naive
+    per-step cell (the cuDNN RNN trick, TPU-sized). Param tree is identical
+    to nn.RNN(nn.SimpleCell): ``{i: {kernel, bias}, h: {kernel}}``, so
+    checkpoints and the torch converter are unaffected."""
+
+    features: int
+    unroll: int = 8
+    # bf16 matmuls with f32 accumulation and an f32 carry: MXU-native speed
+    # for the 2048x2048 recurrence without recurrent-precision decay. Off by
+    # default (torch-parity tests compare at 1e-5); production TPU configs
+    # enable it.
+    bf16_matmul: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, h0: Array) -> Tuple[Array, Array]:
+        init = _torch_rnn_init(self.features)
+        z = nn.Dense(
+            self.features, kernel_init=init, bias_init=init, name="i",
+            dtype=jnp.bfloat16 if self.bf16_matmul else None,
+        )(x).astype(jnp.float32)
+        wh = _RecurrentKernel(self.features, name="h")()
+        if self.bf16_matmul:
+            wh = wh.astype(jnp.bfloat16)
+
+            def step(h, z_t):
+                hh = jax.lax.dot(
+                    h.astype(jnp.bfloat16), wh,
+                    preferred_element_type=jnp.float32,
+                )
+                h_new = jax.nn.relu(z_t + hh)
+                return h_new, h_new
+
+        else:
+
+            def step(h, z_t):
+                h_new = jax.nn.relu(z_t + h @ wh)
+                return h_new, h_new
+
+        h_final, ys = jax.lax.scan(
+            step, h0.astype(jnp.float32), z.swapaxes(0, 1), unroll=self.unroll
+        )
+        return ys.swapaxes(0, 1), h_final
+
+
 class StackedRNN(nn.Module):
     """num_layers-deep unidirectional RNN/GRU/LSTM (or an MLP stand-in) over
     (B, T, D); returns (outputs, carry). ``carry`` is a tuple of per-layer
@@ -53,6 +116,11 @@ class StackedRNN(nn.Module):
     # unroll the time scan so XLA can pipeline the small sequential matmuls
     # (play windows are 8-32 steps; full unroll is cheap to compile)
     unroll: int = 8
+    # mixed-precision recurrence (see _HoistedSimpleRNNLayer); "rnn" only
+    bf16_matmul: bool = False
+    # hoist the input projection out of the scan ("rnn" only); param-tree
+    # compatible either way, so this is a pure execution-strategy knob
+    hoisted: bool = True
 
     def _make_cell(self, idx: int) -> nn.Module:
         init = _torch_rnn_init(self.hidden_size)
@@ -89,17 +157,31 @@ class StackedRNN(nn.Module):
         new_carries = []
         h = x
         for i in range(self.num_layers):
-            cell = self._make_cell(i)
-            init_carry = (
-                carry[i]
-                if carry is not None
-                else cell.initialize_carry(
-                    jax.random.key(0), h.shape[:1] + h.shape[2:]
+            if self.rnn_type == "rnn" and self.hoisted:
+                # hoisted fast path, param-compatible with nn.RNN(SimpleCell)
+                h0 = (
+                    carry[i]
+                    if carry is not None
+                    else jnp.zeros(
+                        h.shape[:1] + (self.hidden_size,), dtype=h.dtype
+                    )
                 )
-            )
-            final_carry, h = nn.RNN(
-                cell, return_carry=True, unroll=self.unroll, name=f"rnn{i}"
-            )(h, initial_carry=init_carry)
+                h, final_carry = _HoistedSimpleRNNLayer(
+                    self.hidden_size, unroll=self.unroll,
+                    bf16_matmul=self.bf16_matmul, name=f"cell{i}",
+                )(h, h0)
+            else:
+                cell = self._make_cell(i)
+                init_carry = (
+                    carry[i]
+                    if carry is not None
+                    else cell.initialize_carry(
+                        jax.random.key(0), h.shape[:1] + h.shape[2:]
+                    )
+                )
+                final_carry, h = nn.RNN(
+                    cell, return_carry=True, unroll=self.unroll, name=f"rnn{i}"
+                )(h, initial_carry=init_carry)
             new_carries.append(final_carry)
             if self.dropout > 0.0 and i < self.num_layers - 1:
                 h = nn.Dropout(self.dropout)(h, deterministic=not train)
@@ -144,6 +226,8 @@ class ActionDecoderLogistic(nn.Module):
     include_goal: bool = False
     num_classes: int = 10
     n_mixtures: int = 10
+    bf16_matmul: bool = False  # mixed-precision RNN recurrence (TPU configs)
+    hoisted_rnn: bool = True  # hoist input projections out of the time scan
 
     @property
     def cont_features(self) -> int:
@@ -152,7 +236,9 @@ class ActionDecoderLogistic(nn.Module):
     def setup(self):
         rnn_type = self.rnn_model.replace("_decoder", "")
         self.rnn = StackedRNN(
-            rnn_type, self.hidden_size, self.num_layers, self.policy_rnn_dropout_p
+            rnn_type, self.hidden_size, self.num_layers,
+            self.policy_rnn_dropout_p, bf16_matmul=self.bf16_matmul,
+            hoisted=self.hoisted_rnn,
         )
         n_out = self.cont_features * self.n_mixtures
         self.mean_fc = TorchDense(n_out)

@@ -192,6 +192,42 @@ def test_stacked_rnn_carry_streaming(rng):
         )
 
 
+def test_stacked_rnn_hoisted_matches_flax_cell(rng):
+    """The hoisted input-projection path is a pure execution strategy: same
+    param tree, bit-close outputs vs the nn.RNN(SimpleCell) path."""
+    x = jax.random.normal(rng, (2, 6, 8))
+    hoisted = StackedRNN("rnn", hidden_size=16, num_layers=2, hoisted=True)
+    legacy = StackedRNN("rnn", hidden_size=16, num_layers=2, hoisted=False)
+    variables = hoisted.init(rng, x)
+    legacy_vars = legacy.init(rng, x)
+    assert jax.tree.structure(variables) == jax.tree.structure(legacy_vars)
+    out_h, carry_h = hoisted.apply(variables, x)
+    out_l, carry_l = legacy.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_h), np.asarray(out_l), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(list(carry_h))),
+        np.asarray(jnp.stack(list(carry_l))),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_stacked_rnn_bf16_matmul_close_to_f32(rng):
+    """Mixed-precision recurrence (bf16 matmuls, f32 carry) must track the
+    f32 path to bf16 resolution."""
+    x = jax.random.normal(rng, (2, 6, 8))
+    f32 = StackedRNN("rnn", hidden_size=16, num_layers=2)
+    mixed = StackedRNN("rnn", hidden_size=16, num_layers=2, bf16_matmul=True)
+    variables = f32.init(rng, x)
+    out32, _ = f32.apply(variables, x)
+    out16, _ = mixed.apply(variables, x)
+    assert out16.dtype == jnp.float32  # carry/output stay f32
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out16), rtol=0, atol=0.05
+    )
+
+
 def test_action_decoder_logistic_loss_and_streaming(rng):
     dec = ActionDecoderLogistic(
         state_dim=12, latent_plan_dim=4, hidden_size=32, out_features=7,
