@@ -18,6 +18,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the suite jits the same tiny train steps in
+# several test files/processes; caching compiled executables across pytest
+# invocations cuts repeat/sharded-run wall time substantially.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TACORL_TEST_CACHE", "/tmp/tacorl_tpu_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
