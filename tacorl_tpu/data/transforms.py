@@ -101,9 +101,15 @@ class DeviceTransforms:
     def _pallas_rgb_train(self, key, value, cfg, size):
         """XLA resize + matmul shift, then the fused Pallas jitter/normalize
         tail (ops/pallas_aug.py, verified to compile+run on v5e) — enable
-        with ``use_pallas: true`` per modality. The fully-fused v2 kernel
-        (pallas_augment_rgb_train) is available but its dynamic rotate does
-        not yet lower on this Mosaic version."""
+        with ``use_pallas: true`` per modality (default on TPU).
+
+        The fully-fused v2 kernel (pallas_augment_rgb_train) now LOWERS on
+        this toolchain (r2: the un-lowerable dynamic rotate was replaced by
+        one-hot matmul shifts, max err 1e-6 vs interpret) but measured
+        SLOWER end-to-end (51.8 vs 67.9 steps/s on the Play-LMP bench): the
+        per-image 140-wide selection matmuls tile poorly on the MXU, while
+        XLA's batched shift is one big GEMM. Kept available for wider pads /
+        future Mosaic versions; see BASELINE.md."""
         from tacorl_tpu.ops.pallas_aug import pallas_augment_tail
 
         k_shift, k_jit = jax.random.split(key)

@@ -190,17 +190,34 @@ def _shift_jitter_kernel(
 ):
     """v2: consumes the edge-padded planar image and additionally applies the
     DrQ integer shift in VMEM (factors columns 7, 8 hold dy, dx). Mosaic
-    requires sublane-aligned dynamic-slice starts, so the shift is a dynamic
-    ROTATE (tpu.DynamicRotate) followed by a static slice — rows/cols that
-    wrap land beyond the sliced region. One HBM read, one write."""
+    requires sublane-aligned dynamic-slice starts (and its dynamic ROTATE
+    does not lower through this toolchain — probed r2), so the shift is two
+    one-hot selection MATMULS per channel: out = P_dy @ x @ P_dx^T with the
+    selection matrices built from iota comparisons. ~15 MFLOP/image of pure
+    MXU work, no relayouts; one HBM read, one write for the whole aug tail."""
     i = pl.program_id(0)
     dy = factors_ref[i, 7].astype(jnp.int32)
     dx = factors_ref[i, 8].astype(jnp.int32)
     x = img_ref[0]  # (3, Hp, Wp)
-    roll = jnp.roll if interpret else pltpu.roll
-    x = roll(x, -dy, 1)
-    x = roll(x, -dx, 2)
-    x = x[:, :out_h, :out_w]
+    hp, wp = x.shape[1], x.shape[2]
+    # sel_r[r, p] = 1 iff p == r + dy  -> (out_h, Hp) selects shifted rows
+    rows_out = jax.lax.broadcasted_iota(jnp.int32, (out_h, hp), 0)
+    rows_in = jax.lax.broadcasted_iota(jnp.int32, (out_h, hp), 1)
+    sel_r = (rows_in == rows_out + dy).astype(jnp.float32)
+    cols_out = jax.lax.broadcasted_iota(jnp.int32, (wp, out_w), 1)
+    cols_in = jax.lax.broadcasted_iota(jnp.int32, (wp, out_w), 0)
+    sel_c = (cols_in == cols_out + dx).astype(jnp.float32)
+    x = jnp.stack(
+        [
+            jnp.dot(
+                jnp.dot(sel_r, x[c], preferred_element_type=jnp.float32),
+                sel_c,
+                preferred_element_type=jnp.float32,
+            )
+            for c in range(3)
+        ],
+        axis=0,
+    )
     x = jnp.clip(x * (1.0 / 255.0), 0.0, 1.0)
     bf = factors_ref[i, 0]
     cf = factors_ref[i, 1]
