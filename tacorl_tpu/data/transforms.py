@@ -112,11 +112,18 @@ class DeviceTransforms:
         future Mosaic versions; see BASELINE.md."""
         from tacorl_tpu.ops.pallas_aug import pallas_augment_tail
 
+        # aug_dtype: bfloat16 halves the HBM traffic of the whole resize ->
+        # shift -> jitter chain (uint8 sources carry <8 significant bits, so
+        # bf16 rounding sits at the quantization level); f32 default keeps
+        # bit-parity with the XLA reference path for tests.
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            str(cfg.get("aug_dtype", "float32"))
+        ]
         k_shift, k_jit = jax.random.split(key)
         lead = value.shape[:-3]
         flat = value.reshape((-1,) + value.shape[-3:])
-        x = image_aug.resize_bilinear(flat, tuple(size))
-        x = image_aug.random_shift(k_shift, x, int(cfg.get("pad", 6)))
+        x = image_aug.resize_bilinear(flat, tuple(size), dtype=dtype)
+        x = image_aug.random_shift(k_shift, x, int(cfg.get("pad", 6)), dtype=dtype)
         out = pallas_augment_tail(
             k_jit,
             x,

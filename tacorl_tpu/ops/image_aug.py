@@ -46,17 +46,23 @@ __all__ = [
 ]
 
 
-def resize_bilinear(images: Array, out_hw: Tuple[int, int]) -> Array:
+def resize_bilinear(
+    images: Array, out_hw: Tuple[int, int], dtype: jnp.dtype = jnp.float32
+) -> Array:
     """Bilinear resize on the (..., H, W, C) spatial axes (antialias off —
-    torchvision tensor-mode Resize semantics)."""
+    torchvision tensor-mode Resize semantics). ``dtype=bfloat16`` halves the
+    HBM traffic of the resize matmuls; for uint8 sources the bf16 rounding
+    (rel ~2^-8) is at the input quantization level."""
     *lead, h, w, c = images.shape
     out_shape = tuple(lead) + (out_hw[0], out_hw[1], c)
     if (h, w) == tuple(out_hw):
-        return images.astype(jnp.float32)
-    return jax.image.resize(images.astype(jnp.float32), out_shape, "bilinear")
+        return images.astype(dtype)
+    return jax.image.resize(images.astype(dtype), out_shape, "bilinear")
 
 
-def random_shift(key: Array, images: Array, pad: int) -> Array:
+def random_shift(
+    key: Array, images: Array, pad: int, dtype: jnp.dtype = jnp.float32
+) -> Array:
     """DrQ random-shift (utils/transforms.py:265-299): replicate-pad by
     ``pad`` then integer-translate by (dy, dx) ~ U{0..2pad} per image, zeros
     never enter (shifts stay in the padded bounds). images: (N, H, W, C).
@@ -69,7 +75,7 @@ def random_shift(key: Array, images: Array, pad: int) -> Array:
     exact integer translation."""
     n, h, w, c = images.shape
     padded = jnp.pad(
-        images.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        images.astype(dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0)),
         mode="edge",
     )
     shifts = jax.random.randint(key, (n, 2), 0, 2 * pad + 1)
@@ -82,17 +88,13 @@ def random_shift(key: Array, images: Array, pad: int) -> Array:
     sy = (
         rows_out[None, :, None] + shifts[:, 0][:, None, None]
         == rows_pad[None, None, :]
-    ).astype(jnp.float32)
+    ).astype(dtype)
     sx = (
         cols_out[None, :, None] + shifts[:, 1][:, None, None]
         == cols_pad[None, None, :]
-    ).astype(jnp.float32)
-    out = jnp.einsum(
-        "nyh,nhwc->nywc", sy, padded, preferred_element_type=jnp.float32
-    )
-    out = jnp.einsum(
-        "nxw,nywc->nyxc", sx, out, preferred_element_type=jnp.float32
-    )
+    ).astype(dtype)
+    out = jnp.einsum("nyh,nhwc->nywc", sy, padded, preferred_element_type=dtype)
+    out = jnp.einsum("nxw,nywc->nyxc", sx, out, preferred_element_type=dtype)
     return out
 
 

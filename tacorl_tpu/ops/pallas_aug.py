@@ -96,8 +96,9 @@ def _jitter_kernel(img_ref, factors_ref, out_ref):
     in SMEM; op slots select brightness(0)/contrast(1)/hue(2). A predicated
     where-chain per slot keeps the VMEM footprint at a few image buffers
     (a 6-way lax.switch made Mosaic sum all branches' scratch and blow the
-    16 MB scoped-vmem limit)."""
-    x = img_ref[0] * (1.0 / 255.0)  # (3, H, W) planar
+    16 MB scoped-vmem limit). IO may be bf16 (HBM-traffic halving); all
+    in-kernel math is f32 in VMEM."""
+    x = img_ref[0].astype(jnp.float32) * (1.0 / 255.0)  # (3, H, W) planar
     x = jnp.clip(x, 0.0, 1.0)
     i = pl.program_id(0)
     bf = factors_ref[i, 0]
@@ -114,18 +115,20 @@ def _jitter_kernel(img_ref, factors_ref, out_ref):
             jnp.where(op == 1, _adjust_contrast(y, cf), _adjust_hue(y, hf)),
         )
     result = jnp.where(apply, y, x)
-    out_ref[0] = (result - 0.5) / 0.5
+    out_ref[0] = ((result - 0.5) / 0.5).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_jitter_normalize(
     images: Array, factors: Array, interpret: bool = False
 ) -> Array:
-    """images: (N, 3, H, W) PLANAR float32 in 0..255 (post resize/shift);
-    factors: (N, 8) float32 [brightness, contrast, hue, op0, op1, op2,
-    apply, pad]. Returns normalized planar float32 in [-1, 1]."""
+    """images: (N, 3, H, W) PLANAR float32/bfloat16 in 0..255 (post
+    resize/shift); factors: (N, 8) float32 [brightness, contrast, hue, op0,
+    op1, op2, apply, pad]. Returns normalized planar images in [-1, 1] in
+    the INPUT dtype (kernel math is always f32 in VMEM)."""
     n, c, h, w = images.shape
     assert c == 3, "planar (N, 3, H, W) expected"
+    dtype = images.dtype if images.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         _jitter_kernel,
         grid=(n,),
@@ -142,9 +145,9 @@ def fused_jitter_normalize(
             (1, c, h, w), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.ANY if interpret else pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(images.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(images.shape, dtype),
         interpret=interpret,
-    )(images.astype(jnp.float32), factors)
+    )(images.astype(dtype), factors)
 
 
 def sample_jitter_factors(

@@ -126,3 +126,34 @@ def test_pallas_augment_rgb_train_end_to_end(rng):
     assert out.shape == (2, 3, 32, 32, 3)
     arr = np.asarray(out)
     assert arr.min() >= -1.0 - 1e-5 and arr.max() <= 1.0 + 1e-5
+
+
+def test_bf16_aug_chain_tracks_f32(rng):
+    """aug_dtype=bfloat16 (production TPU setting) must track the f32 chain
+    to uint8-quantization-level error across resize + shift + fused tail."""
+    from tacorl_tpu.ops.image_aug import random_shift, resize_bilinear
+    from tacorl_tpu.ops.pallas_aug import (
+        fused_jitter_normalize,
+        sample_jitter_factors,
+    )
+
+    imgs = jax.random.randint(rng, (4, 40, 40, 3), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    k_shift, k_jit = jax.random.split(rng)
+
+    def chain(dtype):
+        x = resize_bilinear(imgs, (32, 32), dtype=dtype)
+        x = random_shift(k_shift, x, 2, dtype=dtype)
+        factors = sample_jitter_factors(k_jit, 4)
+        planar = jnp.transpose(x, (0, 3, 1, 2))
+        out = fused_jitter_normalize(planar, factors, interpret=True)
+        return jnp.transpose(out, (0, 2, 3, 1))
+
+    out32 = chain(jnp.float32)
+    out16 = chain(jnp.bfloat16)
+    assert out16.dtype == jnp.bfloat16
+    # output range is [-1, 1]; 2/255 ~ one uint8 level, bf16 eps ~ 8e-3
+    np.testing.assert_allclose(
+        np.asarray(out32), np.asarray(out16, dtype=np.float32), atol=0.025
+    )
