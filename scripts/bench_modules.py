@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Cross-module throughput: production-config train steps/sec/chip for the
+three main CALVIN training stages (Play-LMP, goal-conditioned CQL, TACO-RL).
+
+Same honest tunnel protocol as bench.py: K steps scanned inside ONE
+executable via AlgorithmModule.make_scanned_train_step, a dependent loss
+host-fetched per call (through this tunnel a fetch costs a measured ~32 ms
+round trip, i.e. +32/K ms/step is included in every number — BASELINE.md).
+
+Production shapes (reference config/ defaults):
+  Play-LMP   batch 64 x window 16, raw 200x200 uint8 -> on-device 128x128
+  CQL        batch 64 transitions (obs+goal+next all 200x200 uint8),
+             LMPVision 32/256 actor+critic encoders, 3x256 MLP policy,
+             D2RL-256 critics, n=4 action samples, Lagrange
+  TACO-RL    batch 64 x window 16 play batch: frozen posterior plan sampling,
+             decoder finetune group, vectorized relabel, full CQL update
+
+Prints one JSON line per module.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCAN_K = 10
+TIMED_CALLS = 5
+BATCH, WINDOW, RAW = 64, 16, 200
+
+TRANSFORMS = {
+    "rgb_static": {
+        "kind": "rgb", "size": [128, 128], "pad": 6, "aug_dtype": "bfloat16"
+    }
+}
+ENC = {
+    "networks": {
+        "rgb_static": {
+            "_target_": "tacorl_tpu.networks.encoders.LMPVisionEncoder",
+            "latent_dim": 32,
+            "hidden_dim": 256,
+        }
+    }
+}
+
+
+def run(name, module, batch, scalars):
+    rng = jax.random.key(0)
+    state = module.init_state(rng, batch)
+    stacked = jax.device_put(
+        jax.tree.map(lambda x: np.broadcast_to(np.asarray(x), (SCAN_K,) + np.asarray(x).shape), batch)
+    )
+    scanned = module.make_scanned_train_step()
+    t0 = time.time()
+    state, metrics = scanned(state, stacked, rng, scalars)
+    loss_key = "total_loss" if "total_loss" in metrics else "q1_loss"
+    _ = float(metrics[loss_key])
+    print(f"# {name} compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        state, metrics = scanned(state, stacked, rng, scalars)
+        v = float(metrics[loss_key])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(v)
+    sps = TIMED_CALLS * SCAN_K / dt
+    print(
+        json.dumps(
+            {"module": name, "steps_per_sec_per_chip": round(sps, 2),
+             "ms_per_step": round(1e3 / sps, 2)}
+        ),
+        flush=True,
+    )
+
+
+def img_batch(rs, shape):
+    return rs.randint(0, 255, shape, dtype=np.uint8)
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from __graft_entry__ import _batch, _module
+    from tacorl_tpu.core.checkpoint import CheckpointManager
+    from tacorl_tpu.modules.cql import CQLModule
+    from tacorl_tpu.modules.tacorl import TACORLModule
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    rs = np.random.RandomState(0)
+    kl = {"kl_beta": jnp.asarray(1e-3)}
+
+    # --- Play-LMP ---------------------------------------------------------
+    lmp = _module(tiny=False)
+    lmp_batch = _batch(b=BATCH, t=WINDOW, hw=RAW)
+    run("play_lmp", lmp, lmp_batch, kl)
+
+    # checkpoint the (randomly initialized, 1-step) LMP for TACORL grafting
+    rng = jax.random.key(0)
+    lmp_state = lmp.init_state(rng, lmp_batch)
+    ckpt_dir = Path(tempfile.mkdtemp(prefix="bench_lmp_"))
+    lmp_cfg = {
+        "_target_": "tacorl_tpu.modules.play_lmp.PlayLMPModule",
+        **dict(lmp.cfg),
+    }
+    CheckpointManager(ckpt_dir, config={"module": lmp_cfg}).save(0, lmp_state)
+
+    # --- goal-conditioned CQL (reference config/module/cql_offline_*) ------
+    cql_cfg = {
+        "action_dim": 7,
+        "actor_lr": 1e-4,
+        "critic_lr": 3e-4,
+        "obs_modalities": ["rgb_static"],
+        "goal_modalities": ["rgb_static"],
+        "actor_encoder": ENC,
+        "critic_encoder": ENC,
+        "goal_encoder": {"hidden_size": 256},
+        "policy": {"num_layers": 3, "hidden_dim": 256, "discrete_gripper": True},
+        "q_network": {
+            "_target_": "tacorl_tpu.networks.critic.D2RLQNetwork",
+            "hidden_dim": 256,
+        },
+        "n_action_samples": 4,
+        "with_lagrange": True,
+        "reward_scale": 10.0,
+        "bc_epochs": 0,
+        "transforms": dict(TRANSFORMS),
+    }
+    obs = {
+        "observation": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
+        "goal": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
+    }
+    next_obs = {
+        "observation": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
+        "goal": obs["goal"],
+    }
+    cql_batch = {
+        "observations": obs,
+        "actions": np.clip(rs.randn(BATCH, 7), -1, 1).astype(np.float32),
+        "next_observations": next_obs,
+        "rewards": (rs.rand(BATCH) < 0.1).astype(np.float32),
+        "terminals": np.zeros(BATCH, np.float32),
+    }
+    bc = {"bc_phase": jnp.asarray(0.0)}
+    run("cql", CQLModule(cql_cfg), cql_batch, bc)
+
+    # --- TACO-RL (reference config/module/tacorl.yaml) ----------------------
+    tacorl_cfg = {
+        "play_lmp_dir": str(ckpt_dir),
+        "finetune_action_decoder": True,
+        "action_decoder_lr": 3e-4,
+        "actor_lr": 1e-4,
+        "critic_lr": 3e-4,
+        "discount": 0.95,
+        "conservative_weight": 1.0,
+        "reward_scale": 10.0,
+        "n_action_samples": 4,
+        "with_lagrange": True,
+        "deterministic_backup": True,
+        "bc_epochs": 0,
+        "target_entropy": -7.0,
+        "q_network": {
+            "_target_": "tacorl_tpu.networks.critic.D2RLQNetwork",
+            "hidden_dim": 256,
+        },
+        "transforms": dict(TRANSFORMS),
+    }
+    tacorl_batch = dict(_batch(b=BATCH, t=WINDOW, hw=RAW))
+    tacorl_batch["goal"] = {
+        "rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))
+    }
+    tacorl_batch["disp"] = rs.choice([1, 1, 2, 3], size=BATCH).astype(np.int64)
+    run("tacorl", TACORLModule(tacorl_cfg), tacorl_batch, bc)
+
+
+if __name__ == "__main__":
+    main()

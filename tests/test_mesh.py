@@ -2,6 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
+import pytest
 
 from tacorl_tpu.core.obs import (
     batch_size_of,
@@ -105,6 +106,8 @@ def test_create_mesh_rejects_wrong_device_count():
         create_mesh(dp=2, mp=1, devices=jax.devices()[:3])
 
 
+@pytest.mark.slow  # ~60 s: subprocess re-exec with a fresh compile; the
+# driver gate exercises the same path every round
 def test_dryrun_multichip_driver_env():
     """Regression for MULTICHIP_r01.json: the driver calls dryrun_multichip
     in a process whose ambient backend has ONE device (the axon TPU tunnel).

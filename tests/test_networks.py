@@ -361,6 +361,7 @@ def test_visual_wrappers_end_to_end(rng):
     assert q.shape == (2, 1)
 
 
+@pytest.mark.slow  # ~45 s jit of the full ResNet18 backbone
 def test_resnet18_encoder(rng):
     from tacorl_tpu.networks.resnet import R3MEncoder, ResNet18Encoder
 
