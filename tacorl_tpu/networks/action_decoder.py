@@ -228,6 +228,7 @@ class ActionDecoderLogistic(nn.Module):
     n_mixtures: int = 10
     bf16_matmul: bool = False  # mixed-precision RNN recurrence (TPU configs)
     hoisted_rnn: bool = True  # hoist input projections out of the time scan
+    rnn_unroll: int = 8  # time-scan unroll factor (full window = 16)
 
     @property
     def cont_features(self) -> int:
@@ -237,8 +238,8 @@ class ActionDecoderLogistic(nn.Module):
         rnn_type = self.rnn_model.replace("_decoder", "")
         self.rnn = StackedRNN(
             rnn_type, self.hidden_size, self.num_layers,
-            self.policy_rnn_dropout_p, bf16_matmul=self.bf16_matmul,
-            hoisted=self.hoisted_rnn,
+            self.policy_rnn_dropout_p, unroll=self.rnn_unroll,
+            bf16_matmul=self.bf16_matmul, hoisted=self.hoisted_rnn,
         )
         n_out = self.cont_features * self.n_mixtures
         self.mean_fc = TorchDense(n_out)
