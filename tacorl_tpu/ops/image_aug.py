@@ -46,18 +46,49 @@ __all__ = [
 ]
 
 
+def _interp_matrix(in_size: int, out_size: int):
+    """(out, in) bilinear interpolation matrix with torchvision tensor-mode
+    Resize semantics: align_corners=False, NO antialias (the 2022-era
+    torchvision the reference pins uses antialias=False for tensors — each
+    output pixel is a 2-tap blend even when downscaling). Built with numpy at
+    trace time: sizes are static, so this folds to an XLA constant."""
+    import numpy as np
+
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.floor(src)
+    w1 = src - i0
+    i0c = np.clip(i0, 0, in_size - 1).astype(np.int64)
+    i1c = np.clip(i0 + 1, 0, in_size - 1).astype(np.int64)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    np.add.at(m, (np.arange(out_size), i0c), (1.0 - w1).astype(np.float32))
+    np.add.at(m, (np.arange(out_size), i1c), w1.astype(np.float32))
+    return m
+
+
 def resize_bilinear(
     images: Array, out_hw: Tuple[int, int], dtype: jnp.dtype = jnp.float32
 ) -> Array:
-    """Bilinear resize on the (..., H, W, C) spatial axes (antialias off —
-    torchvision tensor-mode Resize semantics). ``dtype=bfloat16`` halves the
-    HBM traffic of the resize matmuls; for uint8 sources the bf16 rounding
-    (rel ~2^-8) is at the input quantization level."""
+    """Bilinear resize on the (..., H, W, C) spatial axes, exactly matching
+    torchvision tensor-mode Resize (align_corners=False, antialias off) —
+    parity-critical at rollout time vs the reference's eval transforms.
+
+    TPU note: implemented as two constant-matrix MXU matmuls
+    (out = R_h @ img @ R_w^T) instead of jax.image.resize — the latter
+    antialiases on downscale (different numerics from the reference) and is
+    slower than the pure-GEMM form. ``dtype=bfloat16`` halves the HBM
+    traffic; for uint8 sources the bf16 rounding sits at the input
+    quantization level."""
     *lead, h, w, c = images.shape
-    out_shape = tuple(lead) + (out_hw[0], out_hw[1], c)
-    if (h, w) == tuple(out_hw):
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
         return images.astype(dtype)
-    return jax.image.resize(images.astype(dtype), out_shape, "bilinear")
+    flat = images.reshape((-1, h, w, c)).astype(dtype)
+    ry = jnp.asarray(_interp_matrix(h, oh), dtype)
+    rx = jnp.asarray(_interp_matrix(w, ow), dtype)
+    t = jnp.einsum("yh,nhwc->nywc", ry, flat, preferred_element_type=dtype)
+    out = jnp.einsum("xw,nywc->nyxc", rx, t, preferred_element_type=dtype)
+    return out.reshape(tuple(lead) + (oh, ow, c))
 
 
 def random_shift(

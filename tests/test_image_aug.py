@@ -117,3 +117,26 @@ def test_augment_depth_train(rng):
     assert out.shape == (2, 2, 84, 84, 3)
     out_eval = augment_depth_eval(depth, out_hw=(84, 84))
     assert out_eval.shape == (2, 2, 84, 84, 3)
+
+
+def test_resize_matches_torchvision_tensor_semantics(rng):
+    """resize_bilinear must match torch F.interpolate(align_corners=False,
+    antialias=False) — the reference's torchvision tensor-mode Resize
+    (config/datamodule/transform_manager/transforms/rl_train.yaml:3-4) —
+    including on downscale, where jax.image.resize would antialias."""
+    import torch
+    import torch.nn.functional as F
+
+    img = np.asarray(jax.random.uniform(rng, (2, 50, 40, 3)) * 255, np.float32)
+    for out_hw in ((32, 32), (25, 20), (84, 84)):
+        ours = np.asarray(resize_bilinear(jnp.asarray(img), out_hw))
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(img).permute(0, 3, 1, 2),
+                size=out_hw, mode="bilinear", align_corners=False,
+                antialias=False,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-3)
