@@ -1,0 +1,84 @@
+"""Child process for the real multi-process integration test
+(tests/test_multiprocess.py): one simulated pod host.
+
+Each process owns 4 virtual CPU devices, joins the cluster via
+``jax.distributed.initialize`` (gloo over localhost — the CPU stand-in for a
+TPU pod's DCN), feeds ONLY its local half of the global batch through
+``shard_batch`` (which routes through make_array_from_process_local_data),
+and runs the real jitted Play-LMP train step over the global 8-device dp
+mesh. Prints one JSON line with the global metrics; the parent asserts both
+hosts agree with each other and with a single-process run on the full batch.
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import re
+
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        os.environ.get("XLA_FLAGS", ""),
+    )
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert jax.local_device_count() == 4
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _batch, _module
+    from tacorl_tpu.parallel.mesh import (
+        create_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+
+    module = _module(tiny=True)
+    full = _batch(b=16, t=8, hw=32, seed=0)
+    per_host = 16 // nproc
+    local = jax.tree.map(
+        lambda x: x[pid * per_host : (pid + 1) * per_host], full
+    )
+
+    rng = jax.random.key(0)
+    state = module.init_state(rng, local)
+    mesh = create_mesh(devices=jax.devices())  # dp=8 across 2 processes
+    state = jax.device_put(state, replicated_sharding(mesh))
+    sharded = shard_batch(local, mesh)  # local half -> global array
+
+    train_step = module.make_train_step()
+    new_state, metrics = train_step(
+        state, sharded, rng, {"kl_beta": jnp.asarray(1e-3)}
+    )
+    out = {
+        "pid": pid,
+        "total_loss": float(metrics["total_loss"]),
+        "grad_norm": float(metrics["grad_norm"]),
+        "step": int(new_state.step),
+    }
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
