@@ -99,9 +99,11 @@ class DeviceTransforms:
         raise ValueError(f"unknown transform kind {kind!r}")
 
     def _pallas_rgb_train(self, key, value, cfg, size):
-        """XLA resize + matmul shift, then the fused Pallas jitter/normalize
-        tail (ops/pallas_aug.py, verified to compile+run on v5e) — enable
-        with ``use_pallas: true`` per modality (default on TPU).
+        """Fused XLA resize+shift (ops/image_aug.py:resize_shift — the shift
+        one-hots composed with the constant interp matrices, two passes over
+        the image data total), then the fused Pallas jitter/normalize tail
+        (ops/pallas_aug.py, verified to compile+run on v5e) — enable with
+        ``use_pallas: true`` per modality (default on TPU).
 
         The fully-fused v2 kernel (pallas_augment_rgb_train) now LOWERS on
         this toolchain (r2: the un-lowerable dynamic rotate was replaced by
@@ -122,8 +124,9 @@ class DeviceTransforms:
         k_shift, k_jit = jax.random.split(key)
         lead = value.shape[:-3]
         flat = value.reshape((-1,) + value.shape[-3:])
-        x = image_aug.resize_bilinear(flat, tuple(size), dtype=dtype)
-        x = image_aug.random_shift(k_shift, x, int(cfg.get("pad", 6)), dtype=dtype)
+        x = image_aug.resize_shift(
+            k_shift, flat, tuple(size), int(cfg.get("pad", 6)), dtype=dtype
+        )
         out = pallas_augment_tail(
             k_jit,
             x,

@@ -32,6 +32,7 @@ from jax import Array
 
 __all__ = [
     "resize_bilinear",
+    "resize_shift",
     "random_shift",
     "color_jitter",
     "rgb_to_hsv",
@@ -123,6 +124,39 @@ def random_shift(
     sx = (src_x[:, :, None] == cols_out[None, None, :]).astype(dtype)
     out = jnp.einsum("nyh,nhwc->nywc", sy, x, preferred_element_type=dtype)
     out = jnp.einsum("nxw,nywc->nyxc", sx, out, preferred_element_type=dtype)
+    return out
+
+
+def resize_shift(
+    key: Array,
+    images: Array,
+    out_hw: Tuple[int, int],
+    pad: int,
+    dtype: jnp.dtype = jnp.float32,
+) -> Array:
+    """Fused resize_bilinear + random_shift: the per-image one-hot shift
+    matrices are composed with the CONSTANT interpolation matrices first
+    (two tiny (out, out) @ (out, in) matmuls per image), so the image tensor
+    itself makes only TWO passes (rows, cols) instead of four — bit-identical
+    to resize_bilinear followed by random_shift with the same key (the
+    one-hot composition merely copies interp-matrix rows, so every sum over
+    source pixels is computed in the same order)."""
+    n, h, w, c = images.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    x = images.astype(dtype)
+    ry = jnp.asarray(_interp_matrix(h, oh), dtype)  # (oh, h)
+    rx = jnp.asarray(_interp_matrix(w, ow), dtype)  # (ow, w)
+    shifts = jax.random.randint(key, (n, 2), 0, 2 * pad + 1)
+    rows_out = jnp.arange(oh)
+    cols_out = jnp.arange(ow)
+    src_y = jnp.clip(rows_out[None, :] + shifts[:, 0][:, None] - pad, 0, oh - 1)
+    src_x = jnp.clip(cols_out[None, :] + shifts[:, 1][:, None] - pad, 0, ow - 1)
+    sy = (src_y[:, :, None] == rows_out[None, None, :]).astype(dtype)
+    sx = (src_x[:, :, None] == cols_out[None, None, :]).astype(dtype)
+    cy = jnp.einsum("nys,sh->nyh", sy, ry, preferred_element_type=dtype)
+    cx = jnp.einsum("nxs,sw->nxw", sx, rx, preferred_element_type=dtype)
+    out = jnp.einsum("nyh,nhwc->nywc", cy, x, preferred_element_type=dtype)
+    out = jnp.einsum("nxw,nywc->nyxc", cx, out, preferred_element_type=dtype)
     return out
 
 

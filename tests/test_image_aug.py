@@ -140,3 +140,17 @@ def test_resize_matches_torchvision_tensor_semantics(rng):
             .numpy()
         )
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-3)
+
+
+def test_resize_shift_fused_is_bit_identical(rng):
+    """resize_shift (shift one-hots composed with the constant interp
+    matrices) must equal resize_bilinear -> random_shift exactly: the
+    composition only copies interp rows, so every source-pixel sum is
+    computed in the same order."""
+    from tacorl_tpu.ops.image_aug import resize_shift
+
+    img = (jax.random.uniform(rng, (3, 50, 40, 3)) * 255).astype(jnp.uint8)
+    k = jax.random.fold_in(rng, 1)
+    two_stage = random_shift(k, resize_bilinear(img, (32, 32)), 4)
+    fused = resize_shift(k, img, (32, 32), 4)
+    np.testing.assert_array_equal(np.asarray(two_stage), np.asarray(fused))
