@@ -73,3 +73,88 @@ def test_sac_online_trains_from_cli(tmp_path):
     assert "train/q1_loss" in train_rows[-1]
     assert (run_dir / "ckpts").is_dir()
     assert (run_dir / "config.yaml").is_file()
+
+
+@pytest.mark.slow
+def test_play_lmp_d4rl_trains_from_cli(tmp_path):
+    """`train.py experiment=play_lmp_d4rl dataset_path=...` must train the
+    state-based CVAE end-to-end from a synthetic D4RL npz (the hermetic
+    stand-in for env.get_dataset())."""
+    import json
+
+    import train
+
+    from tacorl_tpu.data.d4rl_dataset import generate_synthetic_d4rl
+
+    npz = tmp_path / "antmaze.npz"
+    generate_synthetic_d4rl(npz, n_steps=300, episode_len=100, obs_dim=6,
+                            act_dim=3)
+    run_dir = tmp_path / "lmp_d4rl"
+    train.main([
+        "platform=cpu",
+        "experiment=play_lmp_d4rl",
+        f"dataset_path={npz}",
+        f"run_dir={run_dir}",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        "datamodule.batch_size=8",
+        "datamodule.dataset.min_window_size=4",
+        "datamodule.dataset.max_window_size=8",
+        "latent_plan_dim=8",
+        "module.state_dim=6",
+        "module.action_dim=3",
+        "module.plan_recognition.num_heads=2",
+        "module.plan_recognition.num_layers=1",
+        "module.plan_recognition.encoder_hidden_size=16",
+        "module.plan_recognition.fc_hidden_size=16",
+        "module.plan_recognition.max_position_embeddings=8",
+        "module.plan_proposal.policy.hidden_dim=16",
+        "module.action_decoder.hidden_size=16",
+        "module.action_decoder.num_layers=1",
+        "module.action_decoder.n_mixtures=3",
+    ])
+    lines = [
+        json.loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("train/total_loss" in r for r in lines)
+    assert (run_dir / "config.yaml").is_file()
+
+
+@pytest.mark.slow
+def test_cql_d4rl_trains_from_cli(tmp_path):
+    """`train.py experiment=cql_d4rl dataset_path=...`: flat state-based CQL
+    on goal-relabeled synthetic D4RL transitions."""
+    import json
+
+    import train
+
+    from tacorl_tpu.data.d4rl_dataset import generate_synthetic_d4rl
+
+    npz = tmp_path / "maze.npz"
+    generate_synthetic_d4rl(npz, n_steps=300, episode_len=100, obs_dim=6,
+                            act_dim=3)
+    run_dir = tmp_path / "cql_d4rl"
+    train.main([
+        "platform=cpu",
+        "experiment=cql_d4rl",
+        f"dataset_path={npz}",
+        f"run_dir={run_dir}",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        "datamodule.batch_size=8",
+        "module.state_dim=6",
+        "module.action_dim=3",
+        "module.bc_epochs=0",
+        "module.n_action_samples=2",
+        "module.policy.hidden_dim=16",
+        "module.policy.num_layers=2",
+        "module.q_network.hidden_dim=16",
+        "module.q_network.num_layers=2",
+    ])
+    lines = [
+        json.loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("train/q1_loss" in r for r in lines)
+    assert (run_dir / "config.yaml").is_file()
