@@ -158,3 +158,75 @@ def test_cql_d4rl_trains_from_cli(tmp_path):
     ]
     assert any("train/q1_loss" in r for r in lines)
     assert (run_dir / "config.yaml").is_file()
+
+
+TINY_LMP_OVERRIDES = [
+    "platform=cpu",
+    "trainer.max_steps=2",
+    "trainer.log_every_n_steps=1",
+    "datamodule.batch_size=8",  # divisible by the conftest 8-device mesh
+    "datamodule.dataset.min_window_size=4",
+    "datamodule.dataset.max_window_size=8",
+    "module.perceptual_encoder.networks.rgb_static.latent_dim=8",
+    "module.perceptual_encoder.networks.rgb_static.hidden_dim=16",
+    "module.goal_encoder.hidden_size=16",
+    "module.plan_recognition.num_heads=4",
+    "module.plan_recognition.num_layers=1",
+    "module.plan_recognition.encoder_hidden_size=16",
+    "module.plan_recognition.fc_hidden_size=16",
+    "module.plan_recognition.max_position_embeddings=8",
+    "module.action_decoder.hidden_size=16",
+    "module.action_decoder.num_layers=1",
+    "module.action_decoder.n_mixtures=4",
+    "module.plan_proposal.policy.hidden_dim=16",
+    "transforms.rgb_static.size=[32,32]",
+    "transforms.rgb_static.pad=2",
+]
+
+
+@pytest.mark.slow
+def test_play_lmp_then_tacorl_chain_from_cli(tmp_path):
+    """THE flagship workflow as the user runs it: synthetic CALVIN play data
+    -> `train.py experiment=play_lmp_for_rl` -> `train.py experiment=tacorl
+    play_lmp_dir=<run>` (checkpoint grafting across stages via the saved
+    config round-trip)."""
+    import json
+
+    import train
+
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    data = tmp_path / "calvin"
+    generate_synthetic_calvin(data, 2, 1, 40, 48)
+    lmp_dir = tmp_path / "lmp"
+    train.main(
+        ["experiment=play_lmp_for_rl", f"data_dir={data}",
+         f"run_dir={lmp_dir}"] + TINY_LMP_OVERRIDES
+    )
+    assert (lmp_dir / "config.yaml").is_file()
+
+    tacorl_dir = tmp_path / "tacorl"
+    train.main([
+        "experiment=tacorl",
+        f"data_dir={data}",
+        f"play_lmp_dir={lmp_dir}",
+        f"run_dir={tacorl_dir}",
+        "platform=cpu",
+        "trainer.max_steps=2",
+        "trainer.log_every_n_steps=1",
+        "datamodule.batch_size=8",
+        "datamodule.dataset.min_window_size=4",
+        "datamodule.dataset.max_window_size=8",
+        "module.q_network.hidden_dim=16",
+        "module.n_action_samples=2",
+        "module.bc_epochs=0",
+        "transforms.rgb_static.size=[32,32]",
+        "transforms.rgb_static.pad=2",
+    ])
+    lines = [
+        json.loads(line)
+        for line in (tacorl_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    row = next(r for r in lines if "train/q1_loss" in r)
+    assert "train/action_loss" in row  # decoder finetune group active
+    assert (tacorl_dir / "ckpts").is_dir()
