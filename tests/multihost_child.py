@@ -71,11 +71,33 @@ def main() -> None:
     new_state, metrics = train_step(
         state, sharded, rng, {"kl_beta": jnp.asarray(1e-3)}
     )
+    # §2.7 eval-parallelism surface, exercised with REAL processes:
+    # round-robin episode sharding by process + process_allgather metric mean
+    # (callbacks/rollout.py:_shard/_log — the reference's rank-sharded
+    # rollouts + all_gather, utils/callbacks/rollout.py:161-170 upstream).
+    from tacorl_tpu.callbacks.rollout import _BaseRolloutCallback
+
+    cb = _BaseRolloutCallback.__new__(_BaseRolloutCallback)
+    shard = cb._shard(list(range(10)))
+
+    class _Sink:
+        def log(self, metrics, step):
+            self.last = dict(metrics)
+
+    class _Trainer:
+        sink = _Sink()
+        global_step = 0
+        _last_val_metrics = {}
+
+    trainer = _Trainer()
+    cb._log(trainer, {"val_accuracy": float(pid)})  # differs per process
     out = {
         "pid": pid,
         "total_loss": float(metrics["total_loss"]),
         "grad_norm": float(metrics["grad_norm"]),
         "step": int(new_state.step),
+        "shard": shard,
+        "val_accuracy_mean": trainer.sink.last["val_accuracy"],
     }
     print("RESULT " + json.dumps(out), flush=True)
 

@@ -63,6 +63,13 @@ def test_two_process_train_step_matches_single_process():
     )
     assert results[0]["step"] == results[1]["step"] == 1
 
+    # rank-sharded rollouts are disjoint and cover everything; the
+    # process_allgather'd metric mean is identical on both hosts
+    assert results[0]["shard"] == [0, 2, 4, 6, 8]
+    assert results[1]["shard"] == [1, 3, 5, 7, 9]
+    assert results[0]["val_accuracy_mean"] == 0.5  # mean(0, 1) across hosts
+    assert results[1]["val_accuracy_mean"] == 0.5
+
     # ...and it equals the single-process result on the concatenated batch
     # (this pytest process has the 8-device virtual mesh, process_count==1)
     from __graft_entry__ import _batch, _module
