@@ -2,6 +2,7 @@
 ``python scripts/train.py experiment=<name>`` (VERDICT.md round-1 item 3 —
 SAC/CQL-online existed but had no experiment configs)."""
 
+import os
 import sys
 from pathlib import Path
 
@@ -230,3 +231,74 @@ def test_play_lmp_then_tacorl_chain_from_cli(tmp_path):
     row = next(r for r in lines if "train/q1_loss" in r)
     assert "train/action_loss" in row  # decoder finetune group active
     assert (tacorl_dir / "ckpts").is_dir()
+
+
+@pytest.mark.slow
+def test_kill_and_resume_from_cli(tmp_path):
+    """Restart-recovery as users hit it (reference: restart-and-resume from
+    last.ckpt, scripts/train.py:48-66 upstream): SIGKILL a real training
+    process after its first checkpoint lands, re-run the SAME command, and
+    the run must resume from the checkpointed step — not from zero — and
+    finish."""
+    import json
+    import signal
+    import subprocess
+    import time
+
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    data = tmp_path / "calvin"
+    generate_synthetic_calvin(data, 2, 1, 40, 48)
+    run_dir = tmp_path / "run"
+    cmd = [
+        sys.executable, str(CONFIG_DIR.parent / "scripts" / "train.py"),
+        "experiment=play_lmp_for_rl", f"data_dir={data}",
+        f"run_dir={run_dir}", "trainer.max_steps=24",  # 3 epochs at 8
+        # batches/epoch -> a checkpoint lands at each epoch boundary
+    ] + [
+        o for o in TINY_LMP_OVERRIDES[1:]  # platform=cpu passed below
+        if not o.startswith("trainer.max_steps")
+    ]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        ["timeout", "600"] + cmd + ["platform=cpu"],
+        cwd=CONFIG_DIR.parent, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # wait for the first checkpoint, then kill hard
+    deadline = time.time() + 420
+    ckpts = run_dir / "ckpts"
+    while time.time() < deadline:
+        if ckpts.is_dir() and any(
+            p.name.isdigit() for p in ckpts.iterdir()
+        ):
+            break
+        if proc.poll() is not None:
+            pytest.fail("training process exited before first checkpoint")
+        time.sleep(1.0)
+    else:
+        proc.kill()
+        pytest.fail("no checkpoint appeared before deadline")
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    killed_at = max(int(p.name) for p in ckpts.iterdir() if p.name.isdigit())
+    assert killed_at < 24
+
+    # same command again: must auto-resume and complete
+    proc = subprocess.run(
+        ["timeout", "900"] + cmd + ["platform=cpu"],
+        cwd=CONFIG_DIR.parent, env=env, capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [
+        json.loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    steps = [r["step"] for r in lines if "train/total_loss" in r]
+    # the resumed process continued past the kill point and finished
+    assert max(steps) >= 24
+    # no restart from zero after the kill: later log rows only move forward
+    resumed = [s for s in steps if s > killed_at]
+    assert resumed == sorted(resumed)
