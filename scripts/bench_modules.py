@@ -179,6 +179,32 @@ def main() -> None:
     tacorl_batch["disp"] = rs.choice([1, 1, 2, 3], size=BATCH).astype(np.int64)
     run("tacorl", TACORLModule(tacorl_cfg), tacorl_batch, bc)
 
+    # --- Relay Imitation Learning (reference: relay_imitation_learning.py) ---
+    from tacorl_tpu.modules.ril import RILModule
+
+    ril_cfg = {
+        "lr": 1e-4,
+        "action_dim": 7,
+        "high_level_policy_modalities": ["rgb_static"],
+        "low_level_policy_modalities": ["rgb_static"],
+        "perceptual_encoder": ENC,
+        "goal_encoder": {"out_features": 32, "hidden_size": 256},
+        "high_level_policy": {"num_layers": 3, "hidden_dim": 256},
+        "low_level_policy": {"num_layers": 3, "hidden_dim": 256},
+        "transforms": dict(TRANSFORMS),
+    }
+    frame = lambda: img_batch(rs, (BATCH, RAW, RAW, 3))  # noqa: E731
+    ril_batch = {
+        "obs": {"rgb_static": frame()},
+        "low_level_goal": {"rgb_static": frame()},
+        "low_level_action": np.clip(rs.randn(BATCH, 7), -1, 1).astype(
+            np.float32
+        ),
+        "high_level_goal": {"rgb_static": frame()},
+        "high_level_action": {"rgb_static": frame()},
+    }
+    run("ril", RILModule(ril_cfg), ril_batch, {})
+
 
 if __name__ == "__main__":
     main()
