@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Cross-module throughput: production-config train steps/sec/chip for the
-three main CALVIN training stages (Play-LMP, goal-conditioned CQL, TACO-RL).
+four CALVIN training families (Play-LMP, goal-conditioned CQL, TACO-RL,
+Relay-IL).
 
 Same honest tunnel protocol as bench.py: K steps scanned inside ONE
 executable via AlgorithmModule.make_scanned_train_step, a dependent loss
@@ -14,6 +15,8 @@ Production shapes (reference config/ defaults):
              D2RL-256 critics, n=4 action samples, Lagrange
   TACO-RL    batch 64 x window 16 play batch: frozen posterior plan sampling,
              decoder finetune group, vectorized relabel, full CQL update
+  Relay-IL   batch 64, two-level BC (low-level action log-prob + high-level
+             latent-subgoal regression), 5 images/transition device-augmented
 
 Prints one JSON line per module.
 """
