@@ -302,3 +302,42 @@ def test_kill_and_resume_from_cli(tmp_path):
     # no restart from zero after the kill: later log rows only move forward
     resumed = [s for s in steps if s > killed_at]
     assert resumed == sorted(resumed)
+
+
+@pytest.mark.slow
+def test_evaluate_cli_with_matrix_preset(tmp_path, monkeypatch):
+    """scripts/evaluate.py with an evaluation-matrix preset: train a tiny
+    Play-LMP, then run the short-horizon protocol by preset name on the fake
+    env and check the per-task results JSON lands."""
+    import json
+
+    import evaluate  # scripts/evaluate.py
+    import train
+
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    data = tmp_path / "calvin"
+    generate_synthetic_calvin(data, 2, 1, 40, 48)
+    lmp_dir = tmp_path / "lmp"
+    train.main(
+        ["experiment=play_lmp_for_rl", f"data_dir={data}",
+         f"run_dir={lmp_dir}"] + TINY_LMP_OVERRIDES
+    )
+
+    monkeypatch.chdir(tmp_path)  # results file is written to cwd
+    evaluate.main([
+        "platform=cpu",
+        "evaluation=lmp_easy",           # module x protocol preset
+        f"module_path={lmp_dir}",        # override the preset's models_dir
+        f"data_dir={data}/validation",
+        "env=fake_calvin",
+        "env.image_hw=32",
+        "env.max_episode_steps=6",
+        "min_seq_len=2",
+        "max_rollouts=2",
+        "plan_duration=3",
+    ])
+    results = json.loads((tmp_path / "lmp_easy_tasks.json").read_text())
+    assert results, "no per-task results written"
+    for task, row in results.items():
+        assert {"accuracy", "num_rollouts"} <= set(row), (task, row)
