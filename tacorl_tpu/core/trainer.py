@@ -28,13 +28,22 @@ __all__ = ["Trainer"]
 
 def _stack_chunks(batch_iter, k: int):
     """Group K per-step batches into one stacked pytree (leaves (K, B, ...))
-    for scanned multi-step dispatch; trailing partial chunks are dropped."""
+    for scanned multi-step dispatch; a trailing partial chunk is dropped and
+    logged (a 100-batch epoch at K=8 trains 96 steps — the log line makes
+    that visible instead of silent)."""
     chunk = []
     for batch in batch_iter:
         chunk.append(batch)
         if len(chunk) == k:
             yield jax.tree.map(lambda *xs: np.stack(xs), *chunk)
             chunk = []
+    if chunk:
+        logger.info(
+            "scanned dispatch dropped a trailing partial chunk of %d/%d "
+            "batches this epoch",
+            len(chunk),
+            k,
+        )
 
 
 class Trainer:
@@ -71,6 +80,10 @@ class Trainer:
         self.epoch = 0
         self.datamodule = None
         self.state = None
+        # instance-level: callbacks mutate this via .update(); a class-level
+        # dict would be shared across Trainer instances in one process
+        self._last_val_metrics: Dict[str, float] = {}
+        self._current_batch = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -210,9 +223,6 @@ class Trainer:
         self._cb("on_fit_end", module)
         return self.state
 
-    _last_val_metrics: Dict[str, float] = {}
-    _current_batch = None
-
     # callback state rides next to the checkpoints
     # (increase_horizon_uncertainty.py:87-114 semantics)
     def _callback_state_path(self):
@@ -224,8 +234,14 @@ class Trainer:
         path = self._callback_state_path()
         if path is None:
             return
-        states = [cb.state_dict() for cb in self.callbacks]
-        if any(states):
+        # keyed by class name: reordering callbacks in config must not load
+        # one callback's state into another (positional zip would)
+        states = {
+            type(cb).__name__: cb.state_dict()
+            for cb in self.callbacks
+            if cb.state_dict()
+        }
+        if states:
             path.write_text(json.dumps(states))
 
     def _load_callback_states(self) -> None:
@@ -235,8 +251,14 @@ class Trainer:
         if path is None or not path.exists():
             return
         states = json.loads(path.read_text())
-        for cb, state in zip(self.callbacks, states):
-            cb.load_state_dict(state)
+        if isinstance(states, list):  # legacy positional format
+            for cb, state in zip(self.callbacks, states):
+                cb.load_state_dict(state)
+            return
+        for cb in self.callbacks:
+            state = states.get(type(cb).__name__)
+            if state:
+                cb.load_state_dict(state)
 
     def validate(self, module, datamodule, val_step=None) -> Dict[str, float]:
         val_loader = datamodule.val_loader()

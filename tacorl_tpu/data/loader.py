@@ -132,7 +132,8 @@ class DataLoader:
         from concurrent.futures import ThreadPoolExecutor
 
         window = self.prefetch + self.num_threads
-        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        try:
             pending: "collections.deque" = collections.deque()
             it = iter(enumerate(batches))
             exhausted = False
@@ -147,6 +148,10 @@ class DataLoader:
                 if not pending:
                     return
                 yield pending.popleft().result()
+        finally:
+            # consumer may abandon the iterator early (generator close):
+            # don't block teardown on up-to-`window` queued produce() calls
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def device_prefetch(iterator: Iterator, put_fn: Callable[[Any], Any], depth: int = 1):

@@ -115,12 +115,15 @@ class DeviceTransforms:
         from tacorl_tpu.ops.pallas_aug import pallas_augment_tail
 
         # aug_dtype: bfloat16 halves the HBM traffic of the whole resize ->
-        # shift -> jitter chain (uint8 sources carry <8 significant bits, so
-        # bf16 rounding sits at the quantization level); f32 default keeps
-        # bit-parity with the XLA reference path for tests.
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-            str(cfg.get("aug_dtype", "float32"))
-        ]
+        # shift -> jitter chain (~3 uint8 levels of accumulated rounding,
+        # bounded in test_pallas_aug); f32 default keeps bit-parity with the
+        # XLA reference path for tests.
+        aug_dtype = str(cfg.get("aug_dtype", "float32"))
+        if aug_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"aug_dtype must be float32|bfloat16, got {aug_dtype!r}"
+            )
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[aug_dtype]
         k_shift, k_jit = jax.random.split(key)
         lead = value.shape[:-3]
         flat = value.reshape((-1,) + value.shape[-3:])

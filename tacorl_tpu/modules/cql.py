@@ -312,8 +312,14 @@ class CQLModule(AlgorithmModule):
                 train=optimize,
             )
         else:
-            obs = batch["observations"]
-            next_obs = batch["next_observations"]
+            # caller guarantees pre-transformed (float) obs; cast guards a
+            # future caller feeding raw uint8 images straight to the encoders
+            to_float = lambda x: (  # noqa: E731
+                x if jnp.issubdtype(x.dtype, jnp.floating)
+                else x.astype(jnp.float32)
+            )
+            obs = jax.tree.map(to_float, batch["observations"])
+            next_obs = jax.tree.map(to_float, batch["next_observations"])
         actions = batch["actions"].astype(jnp.float32)
         rewards = batch["rewards"].astype(jnp.float32).reshape(-1, 1)
         dones = batch["terminals"].astype(jnp.float32).reshape(-1, 1)

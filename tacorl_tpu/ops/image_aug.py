@@ -78,8 +78,8 @@ def resize_bilinear(
     (out = R_h @ img @ R_w^T) instead of jax.image.resize — the latter
     antialiases on downscale (different numerics from the reference) and is
     slower than the pure-GEMM form. ``dtype=bfloat16`` halves the HBM
-    traffic; for uint8 sources the bf16 rounding sits at the input
-    quantization level."""
+    traffic; for uint8 sources the accumulated bf16 rounding across the
+    aug chain is ~3 uint8 levels worst-case (bounded in test_pallas_aug)."""
     *lead, h, w, c = images.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):

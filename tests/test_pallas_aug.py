@@ -153,7 +153,8 @@ def test_bf16_aug_chain_tracks_f32(rng):
     out32 = chain(jnp.float32)
     out16 = chain(jnp.bfloat16)
     assert out16.dtype == jnp.bfloat16
-    # output range is [-1, 1]; 2/255 ~ one uint8 level, bf16 eps ~ 8e-3
+    # output range is [-1, 1]; atol 0.025 ~ 3 uint8 levels (bf16 eps
+    # ~8e-3 compounds over the 3-stage chain; not one quantization level)
     np.testing.assert_allclose(
         np.asarray(out32), np.asarray(out16, dtype=np.float32), atol=0.025
     )
