@@ -8,3 +8,11 @@ from tacorl_tpu.callbacks.horizon import (  # noqa: F401
     IncreaseHorizonConstant,
     IncreaseHorizonLinear,
 )
+from tacorl_tpu.callbacks.horizon_uncertainty import (  # noqa: F401
+    IncreaseHorizonUncertainty,
+)
+from tacorl_tpu.callbacks.rollout import (  # noqa: F401
+    RolloutCallback,
+    RolloutD4RLCallback,
+    RolloutLongHorizonCallback,
+)

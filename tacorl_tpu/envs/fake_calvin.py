@@ -83,6 +83,39 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         self.goal: Optional[Dict[str, np.ndarray]] = None
         self.start_info: Dict[str, Any] = self.get_info()
         self._steps = 0
+        # deterministic stored start/goal state pairs per task — the
+        # env_tasks eval strategy's initial_and_goal_states table
+        # (goal_conditioned_env.py:72-90 index-reset path)
+        table_rng = np.random.RandomState(seed + 1)
+        self.initial_and_goal_states: Dict[str, List[Dict]] = {}
+        for name, (dim, _handle, thresh) in self.tasks.tasks.items():
+            pairs = []
+            for _ in range(3):
+                robot = table_rng.uniform(-0.4, 0.4, ROBOT_OBS_DIM)
+                scene = table_rng.uniform(-0.1, 0.1, SCENE_OBS_DIM)
+                goal_scene = scene.copy()
+                goal_scene[dim] += thresh + 0.2
+                pairs.append(
+                    {
+                        "start_info": {
+                            "robot_obs": robot.astype(np.float32),
+                            "scene_obs": scene.astype(np.float32),
+                        },
+                        "goal_info": {
+                            "robot_obs": robot.astype(np.float32),
+                            "scene_obs": goal_scene.astype(np.float32),
+                        },
+                    }
+                )
+            self.initial_and_goal_states[name] = pairs
+
+    def get_possible_tasks(self) -> Dict[str, int]:
+        """{task: number of stored start/goal pairs} (the env_tasks eval
+        strategy surface, rollout.py:283-287)."""
+        return {
+            name: len(pairs)
+            for name, pairs in self.initial_and_goal_states.items()
+        }
 
     # -- rendering ------------------------------------------------------------
 
@@ -180,8 +213,20 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         return self.get_obs()
 
     def _set_tasks(self, task_info: dict):
-        """reset paths of goal_conditioned_env.py:43-108: complete info, goal
-        only, or random-from-table (not used by the fake env)."""
+        """reset paths of goal_conditioned_env.py:43-108: complete info,
+        stored (task, index) pair, or goal only."""
+        if "index" in task_info:
+            entry = self.initial_and_goal_states[task_info["task"]][
+                task_info["index"]
+            ]
+            obs = self._set_tasks(
+                {
+                    "start_info": entry["start_info"],
+                    "goal_info": entry["goal_info"],
+                    "tasks": [task_info["task"]],
+                }
+            )
+            return obs
         tasks = task_info.get("tasks") or []
         goal_info = task_info["goal_info"]
         if "start_info" in task_info and task_info["start_info"] is not None:

@@ -55,6 +55,10 @@ class SACModule(CQLModule):
         self._episode_length = 0
         self.episodes_returns: deque = deque(maxlen=10)
         self.episodes_lengths: deque = deque(maxlen=10)
+        # episode-cadence surface probed by the rollout callback
+        # (rollout.py:505-512: pl_module.episode_number/episode_done)
+        self.episode_number = 0
+        self.episode_done = False
         self.accuracies: deque = deque(maxlen=10)
         self._rng = np.random.default_rng(int(cfg.get("seed", 0)))
         self._play_key = jax.random.key(int(cfg.get("seed", 0)) + 17)
@@ -116,7 +120,9 @@ class SACModule(CQLModule):
         self._episode_return += float(reward)
         self._episode_length += 1
         out = {"reward": float(reward), "done": bool(done)}
+        self.episode_done = bool(done)
         if done:
+            self.episode_number += 1
             self.accuracies.append(int(bool(info.get("success", False))))
             self.episodes_returns.append(self._episode_return)
             self.episodes_lengths.append(self._episode_length)

@@ -78,7 +78,7 @@ def main() -> None:
     from tacorl_tpu.callbacks.rollout import _BaseRolloutCallback
 
     cb = _BaseRolloutCallback.__new__(_BaseRolloutCallback)
-    shard = cb._shard(list(range(10)))
+    shard = cb._goal_list(10, 10)
 
     class _Sink:
         def log(self, metrics, step):

@@ -52,6 +52,7 @@ class StubTrainer:
     def __init__(self, tmp_path):
         self.sink = StubSink()
         self.global_step = 1
+        self.epoch = 0
         self._last_val_metrics = {}
         self.datamodule = None
         self.state = None
@@ -160,3 +161,142 @@ def test_uncertainty_horizon_callback(tmp_path, rng):
     cb2.load_state_dict(sd)
     cb2.on_fit_start(trainer, module)
     assert trainer.datamodule.train_dataset.current_horizon == 12
+
+
+# -- r3: reference-parity rollout callback features (rollout.py:53-60,
+# 196-259,436-535) --------------------------------------------------------
+
+
+class _ExpertManager:
+    """Drives the fake env with its scripted expert — isolates the callback
+    logic (strategies, aggregation, cadence) from policy quality."""
+
+    def __init__(self, plan_duration: int = 15):
+        self.plan_duration = plan_duration
+
+    def episode_rollout(self, agent, env, reset_info=None, task=None):
+        env.reset(**(reset_info or {}))
+        episode_return, info, step = 0.0, {}, 0
+        for step in range(1, env.max_episode_steps + 1):
+            _obs, reward, done, info = env.step(env.expert_action())
+            episode_return += reward
+            if done:
+                break
+        return {
+            "episode_length": step,
+            "episode_return": episode_return,
+            "success": bool(info.get("success", False)),
+        }
+
+
+def _expert_make_agent(module, state, use_cem=False):
+    return None, _ExpertManager
+
+
+def test_rollout_callback_env_tasks_static_dynamic(tmp_path, monkeypatch):
+    import tacorl_tpu.callbacks.rollout as rollout_mod
+
+    monkeypatch.setattr(rollout_mod, "make_agent", _expert_make_agent)
+    trainer = StubTrainer(tmp_path)
+    env = FakeCalvinEnv(image_hw=32, max_episode_steps=40)
+    cb = RolloutCallback(env=env, eval_strategy="env_tasks")
+    cb.on_validation_end(trainer, object(), {}, [], epoch=0)
+    logged = trainer.sink.logged
+    # per-task metrics for every env-provided task
+    for task in env.get_possible_tasks():
+        assert f"validation/{task}/accuracy" in logged
+    # static/dynamic "block" split: lift_block is the dynamic group
+    assert logged["validation/dynamic/accuracy"] == 1.0
+    assert logged["validation/static/accuracy"] == 1.0
+    # monitors present and equal to the group mean
+    assert logged["val_accuracy"] == 1.0
+    assert trainer._last_val_metrics["val_accuracy"] == 1.0
+
+
+def test_rollout_callback_all_tasks_uses_per_task_budget(
+    tmp_path, monkeypatch
+):
+    import tacorl_tpu.callbacks.rollout as rollout_mod
+    from tacorl_tpu.data.synthetic import generate_synthetic_calvin
+
+    monkeypatch.setattr(rollout_mod, "make_agent", _expert_make_agent)
+    root = tmp_path / "data"
+    generate_synthetic_calvin(root, 1, 1, episode_len=40, image_hw=32)
+    trainer = StubTrainer(tmp_path)
+    env = FakeCalvinEnv(image_hw=32, max_episode_steps=40)
+    cb = RolloutCallback(
+        env=env,
+        data_dir=str(root / "validation"),
+        start_end_tasks=str(root / "validation" / "start_end_tasks.json"),
+        eval_strategy="all_tasks",
+        num_rollouts_per_task=2,
+        min_seq_len=2,
+        max_seq_len=64,
+    )
+    cb.on_validation_end(trainer, object(), {}, [], epoch=0)
+    logged = trainer.sink.logged
+    assert "val_accuracy" in logged
+    per_task = [k for k in logged if k.startswith("validation/") and
+                k.endswith("/accuracy") and "static" not in k and
+                "dynamic" not in k]
+    assert per_task, logged
+
+
+def test_rollout_callback_batch_cadence(tmp_path, monkeypatch):
+    trainer = StubTrainer(tmp_path)
+    env = FakeCalvinEnv(image_hw=32, max_episode_steps=4)
+    cb = RolloutCallback(env=env, every_n_batches=10)
+    fired = []
+    monkeypatch.setattr(
+        cb, "_run", lambda tr, mod, epoch, prefix: fired.append(prefix)
+    )
+    # epoch-cadence must NOT fire when only batch cadence is configured
+    cb.on_validation_end(trainer, object(), {}, [], epoch=0)
+    assert fired == []
+    cb.on_train_batch_end(trainer, object(), {}, step=8)  # idx 0
+    cb.on_train_batch_end(trainer, object(), {}, step=9)  # still idx 0
+    cb.on_train_batch_end(trainer, object(), {}, step=12)  # idx 1 (scan jump)
+    assert fired == ["batch_val", "batch_val"]
+    # skip_first_n_epochs gates the batch path too
+    cb2 = RolloutCallback(env=env, every_n_batches=1, skip_first_n_epochs=2)
+    monkeypatch.setattr(
+        cb2, "_run", lambda tr, mod, epoch, prefix: fired.append("skip")
+    )
+    cb2.on_train_batch_end(trainer, object(), {}, step=5)
+    assert "skip" not in fired
+
+
+def test_rollout_callback_episode_cadence(tmp_path, monkeypatch):
+    class OnlineModule:
+        episode_number = 0
+        episode_done = False
+
+    trainer = StubTrainer(tmp_path)
+    env = FakeCalvinEnv(image_hw=32, max_episode_steps=4)
+    cb = RolloutCallback(env=env, every_n_episodes=2)
+    fired = []
+    monkeypatch.setattr(
+        cb, "_run", lambda tr, mod, epoch, prefix: fired.append(epoch)
+    )
+    m = OnlineModule()
+    cb.on_validation_end(trainer, m, {}, [], epoch=0)  # no episode done
+    assert fired == []
+    m.episode_done, m.episode_number = True, 2
+    cb.on_validation_end(trainer, m, {}, [], epoch=1)
+    assert fired == [1]
+    m.episode_number = 3  # off-cadence episode count
+    cb.on_validation_end(trainer, m, {}, [], epoch=2)
+    assert fired == [1]
+
+
+def test_rollout_callback_skip_first_n_epochs(tmp_path, monkeypatch):
+    trainer = StubTrainer(tmp_path)
+    env = FakeCalvinEnv(image_hw=32, max_episode_steps=4)
+    cb = RolloutCallback(env=env, every_n_epochs=1, skip_first_n_epochs=2)
+    fired = []
+    monkeypatch.setattr(
+        cb, "_run", lambda tr, mod, epoch, prefix: fired.append(epoch)
+    )
+    for epoch in range(4):
+        cb.on_validation_end(trainer, object(), {}, [], epoch=epoch)
+    assert fired == [2, 3]
