@@ -66,7 +66,11 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", cfg["platform"])
 
     module, state = load_module_from_checkpoint(
-        cfg["module_path"], step=(lambda e: e if e == "best" else int(e))(cfg.get("epoch", -1))
+        cfg["module_path"],
+        step=(lambda e: e if e == "best" else int(e))(cfg.get("epoch", -1)),
+        # `+overwrite_module_cfg.play_lmp_dir=...` re-points the grafted LMP
+        # run at eval time (reference README.md:93-96)
+        overwrite_cfg=cfg.get("overwrite_module_cfg") or None,
     )
     env = instantiate(cfg["env"])
     agent, rollout_manager = build_agent_and_manager(module, state, cfg)

@@ -153,7 +153,12 @@ def load_module_from_checkpoint(
     manager = CheckpointManager(directory)
     cfg = manager.load_config()
     if overwrite_cfg:
-        cfg = merge(cfg, overwrite_cfg)
+        # overrides target the MODULE config (the reference's cfg_overwrite,
+        # utils/networks.py:107-117), wherever it sits in the saved tree
+        if module_key in cfg:
+            cfg = merge(cfg, {module_key: overwrite_cfg})
+        else:
+            cfg = merge(cfg, overwrite_cfg)
     module_cfg = cfg[module_key] if module_key in cfg else cfg
     cls = get_class(module_cfg["_target_"])
     module = cls(dict(module_cfg), full_config=cfg)

@@ -1,0 +1,156 @@
+"""Scripted-expert play data on the fake CALVIN env.
+
+Generates teleoperated-style "play" episodes (the uncurated data regime of
+the reference, README.md:8) by driving ``FakeCalvinEnv``'s scripted expert
+through random task sequences with idle wandering in between, and writes
+them in the exact CALVIN on-disk layout the data stack consumes
+(per-frame .npz + ep_start_end_ids.npy + statistics.yaml +
+start_end_tasks.json; datamodule/dataset/play_dataset.py:332-386 upstream).
+
+Unlike ``generate_synthetic_calvin`` (procedural frames for window-alignment
+tests), the frames here come from a real closed-loop policy on the env's
+dynamics, and every recorded start/end span in ``start_end_tasks.json`` is a
+*verified* task completion — so a policy trained on this data can be
+evaluated for true rollout success through the same eval path the reference
+monitors (scripts/evaluate.py:171-176, utils/callbacks/rollout.py:542-546).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from tacorl_tpu.envs.fake_calvin import FakeCalvinEnv
+
+__all__ = ["generate_expert_play"]
+
+
+def _record_frame(env: FakeCalvinEnv, action: np.ndarray) -> Dict[str, np.ndarray]:
+    """Frame = state BEFORE the action + the action taken at that state."""
+    action = action.astype(np.float32)
+    return {
+        "rgb_static": env._render_rgb(),
+        "robot_obs": env.robot_obs.copy(),
+        "scene_obs": env.scene_obs.copy(),
+        "actions": action.copy(),
+        "rel_actions": action.copy(),
+        "rel_actions_world": action.copy(),
+    }
+
+
+def _wander_action(env: FakeCalvinEnv, waypoint: np.ndarray) -> np.ndarray:
+    """Move the TCP toward a free-space waypoint with the gripper closed
+    (play data keeps the expert's gripper convention)."""
+    action = np.zeros(7, dtype=np.float32)
+    action[-1] = -1.0
+    action[:3] = np.clip(
+        (waypoint - env.robot_obs[:3]) / env.action_scale, -1, 1
+    )
+    return action
+
+
+def generate_expert_play(
+    root: Path,
+    n_train_episodes: int = 24,
+    n_val_episodes: int = 6,
+    tasks_per_episode: int = 3,
+    image_hw: int = 64,
+    max_task_steps: int = 40,
+    idle_steps: Tuple[int, int] = (2, 5),
+    action_noise: float = 0.05,
+    seed: int = 0,
+    tasks: Optional[Dict] = None,
+    task_set: str = "hard",
+) -> Path:
+    """Write an expert-play dataset under ``root``; returns ``root``.
+
+    ``action_noise`` perturbs the expert's continuous action dims so the
+    data covers a tube around the optimal trajectories (behavior-cloning
+    needs state diversity to recover from its own drift)."""
+    root = Path(root)
+    rng = np.random.RandomState(seed)
+    step = 0
+    for split, n_eps in (
+        ("training", n_train_episodes),
+        ("validation", n_val_episodes),
+    ):
+        split_dir = root / split
+        split_dir.mkdir(parents=True, exist_ok=True)
+        ep_ids: List[List[int]] = []
+        spans: Dict[str, Dict[str, List[str]]] = {}
+        for ep in range(n_eps):
+            env = FakeCalvinEnv(
+                modalities=("rgb_static",),
+                image_hw=image_hw,
+                max_episode_steps=10**9,
+                seed=int(rng.randint(2**31)),
+                tasks=tasks,
+                task_set=task_set,
+            )
+            env.reset()
+            frames: List[Dict[str, np.ndarray]] = []
+            ep_start = step
+            task_names = list(env.tasks.tasks)
+            chosen = rng.choice(
+                task_names, size=tasks_per_episode, replace=True
+            )
+            for task in chosen:
+                span_start = ep_start + len(frames)
+                start_info = env.get_info()
+                env.selected_tasks = [task]
+                env.start_info = start_info
+                completed = False
+                for _ in range(max_task_steps):
+                    action = env.expert_action()
+                    action[:6] = np.clip(
+                        action[:6]
+                        + rng.randn(6).astype(np.float32) * action_noise,
+                        -1,
+                        1,
+                    )
+                    frames.append(_record_frame(env, action))
+                    env.step(action)
+                    if env.tasks.get_task_info_for_set(
+                        start_info, env.get_info(), [task]
+                    ):
+                        completed = True
+                        break
+                # idle wander; its first frame is the span's goal frame (the
+                # first recorded state that shows the completed task)
+                span_end = ep_start + len(frames)
+                env.selected_tasks = []
+                waypoint = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+                for _ in range(int(rng.randint(*idle_steps))):
+                    action = _wander_action(env, waypoint)
+                    frames.append(_record_frame(env, action))
+                    env.step(action)
+                if completed:
+                    # double-check against the recorded goal frame
+                    goal_scene = frames[span_end - ep_start]["scene_obs"]
+                    achieved = env.tasks.get_task_info_for_set(
+                        start_info, {"scene_obs": goal_scene}, [task]
+                    )
+                    if achieved:
+                        spans.setdefault(str(span_start), {})[
+                            str(span_end)
+                        ] = [str(task)]
+            for frame in frames:
+                np.savez(split_dir / f"episode_{step:07d}.npz", **frame)
+                step += 1
+            ep_ids.append([ep_start, step - 1])
+        np.save(split_dir / "ep_start_end_ids.npy", np.asarray(ep_ids))
+        with open(split_dir / "statistics.yaml", "w") as f:
+            yaml.safe_dump(
+                {
+                    "act_min_bound": [-1.0] * 7,
+                    "act_max_bound": [1.0] * 7,
+                },
+                f,
+            )
+        with open(split_dir / "start_end_tasks.json", "w") as f:
+            json.dump(spans, f)
+    return root

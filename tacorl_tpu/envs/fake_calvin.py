@@ -36,6 +36,21 @@ DEFAULT_TASKS: Dict[str, Tuple[int, Tuple[float, float, float], float]] = {
     "lift_block": (3, (0.1, 0.3, -0.1), 0.5),
 }
 
+# Handles in distinct corners, far from the random-start region ([-0.5, 0.5]
+# TCP starts are >= ~0.4 from every handle): completing a task requires
+# DIRECTED travel toward the right corner, so an untrained policy scores ~0
+# and rollout success genuinely measures learning (the train-to-success
+# pipeline's table; DEFAULT_TASKS keeps handles central for cheap
+# scripted-expert unit tests).
+HARD_TASKS: Dict[str, Tuple[int, Tuple[float, float, float], float]] = {
+    "open_drawer": (0, (0.7, 0.6, 0.0), 0.5),
+    "move_slider_left": (1, (-0.7, 0.6, 0.0), 0.5),
+    "turn_on_led": (2, (0.7, -0.6, 0.2), 0.5),
+    "lift_block": (3, (-0.7, -0.6, -0.2), 0.5),
+}
+
+TASK_SETS = {"default": DEFAULT_TASKS, "hard": HARD_TASKS}
+
 
 class FakeTasks:
     """Task differ: which tasks' scene dims crossed their threshold between
@@ -67,6 +82,7 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         image_hw: int = 64,
         max_episode_steps: int = 180,
         tasks: Optional[Dict] = None,
+        task_set: str = "default",
         action_scale: float = 0.1,
         seed: int = 0,
     ):
@@ -74,7 +90,7 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         self.goal_modalities = tuple(goal_modalities)
         self.image_hw = image_hw
         self.max_episode_steps = max_episode_steps
-        self.tasks = FakeTasks(tasks)
+        self.tasks = FakeTasks(tasks if tasks is not None else TASK_SETS[task_set])
         self.action_scale = action_scale
         self._rng = np.random.RandomState(seed)
         self.robot_obs = np.zeros(ROBOT_OBS_DIM, dtype=np.float32)
@@ -120,8 +136,11 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
     # -- rendering ------------------------------------------------------------
 
     def _render_rgb(self) -> np.ndarray:
-        """Procedural image encoding the state: column bands for scene dims,
-        a bright patch at the TCP position."""
+        """Procedural image encoding the full relevant state: column bands
+        for scene dims, a bright patch at the TCP (x, y) whose blue channel
+        encodes TCP z and whose red channel encodes the gripper — the image
+        alone suffices for visuomotor control (no hidden state), matching
+        the static-camera observability of the real playtable."""
         hw = self.image_hw
         img = np.zeros((hw, hw, 3), dtype=np.uint8)
         n = 8
@@ -133,8 +152,10 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         cx = int(np.clip((tcp[0] + 1) / 2, 0, 1) * (hw - 9))
         cy = int(np.clip((tcp[1] + 1) / 2, 0, 1) * (hw - 9))
         img[cy : cy + 8, cx : cx + 8, 1] = 255
+        z = float(np.clip((self.robot_obs[2] + 1.0) / 2.0, 0.0, 1.0))
+        img[cy : cy + 8, cx : cx + 8, 2] = int(z * 255)
         gripper_closed = self.robot_obs[14] < 0
-        img[cy : cy + 8, cx : cx + 8, 2] = 255 if gripper_closed else 60
+        img[cy : cy + 8, cx : cx + 8, 0] = 255 if gripper_closed else 0
         return img
 
     def _modality_value(self, modality: str) -> np.ndarray:
