@@ -39,8 +39,11 @@ BATCH = 64
 WINDOW = 16
 RAW_HW = 200  # raw CALVIN static-cam frames; resize to 128 happens on device
 SCAN_K = 10
-WARMUP_CALLS = 1
-TIMED_CALLS = 5
+WARMUP_CALLS = 2
+# median-of-15 with printed spread: single runs through the tunnel are too
+# noisy (BASELINE.md documents a 68-90 steps/s band under load) to support a
+# headline from TIMED_CALLS=5 (VERDICT r2 weak #1)
+TIMED_CALLS = 15
 
 
 def main() -> None:
@@ -77,21 +80,30 @@ def main() -> None:
         loss = float(metrics["total_loss"])  # forces execution
     print(f"# warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
+    per_call = []
     for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
         state, metrics = scanned(state, stacked, rng, scalars)
         loss = float(metrics["total_loss"])  # forces execution
-    dt = time.perf_counter() - t0
+        per_call.append(time.perf_counter() - t0)
     assert np.isfinite(loss)
 
-    steps_per_sec = TIMED_CALLS * SCAN_K / dt
+    rates = SCAN_K / np.asarray(per_call)  # steps/s of each timed call
+    steps_per_sec = float(np.median(rates))
     print(
         json.dumps(
             {
                 "metric": "play_lmp_train_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / A100_TORCH_STEPS_PER_SEC, 3),
+                "vs_baseline": round(
+                    steps_per_sec / A100_TORCH_STEPS_PER_SEC, 3
+                ),
+                # median of TIMED_CALLS calls; spread makes tunnel-load noise
+                # visible next to the headline instead of hiding inside it
+                "spread_min": round(float(rates.min()), 3),
+                "spread_max": round(float(rates.max()), 3),
+                "timed_calls": TIMED_CALLS,
             }
         )
     )

@@ -37,7 +37,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SCAN_K = 10
-TIMED_CALLS = 5
+# median-of-N with spread (same protocol as bench.py; VERDICT r2 weak #1)
+TIMED_CALLS = 11
 BATCH, WINDOW, RAW = 64, 16, 200
 
 TRANSFORMS = {
@@ -68,17 +69,22 @@ def run(name, module, batch, scalars):
     loss_key = "total_loss" if "total_loss" in metrics else "q1_loss"
     _ = float(metrics[loss_key])
     print(f"# {name} compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
+    per_call = []
     for _ in range(TIMED_CALLS):
+        t0 = time.perf_counter()
         state, metrics = scanned(state, stacked, rng, scalars)
         v = float(metrics[loss_key])
-    dt = time.perf_counter() - t0
+        per_call.append(time.perf_counter() - t0)
     assert np.isfinite(v)
-    sps = TIMED_CALLS * SCAN_K / dt
+    rates = SCAN_K / np.asarray(per_call)
+    sps = float(np.median(rates))
     print(
         json.dumps(
             {"module": name, "steps_per_sec_per_chip": round(sps, 2),
-             "ms_per_step": round(1e3 / sps, 2)}
+             "ms_per_step": round(1e3 / sps, 2),
+             "spread_min": round(float(rates.min()), 2),
+             "spread_max": round(float(rates.max()), 2),
+             "timed_calls": TIMED_CALLS}
         ),
         flush=True,
     )
