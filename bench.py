@@ -63,8 +63,14 @@ def main() -> None:
     ad_overrides = _json.loads(_os.environ.get("TACORL_BENCH_AD", "null"))
     if ad_overrides:
         print(f"# ad_overrides: {ad_overrides}", file=sys.stderr)
+    # batch-scaling hook (BASELINE.md batch-scaling table): the reference's
+    # protocol pins batch 64; TACORL_BENCH_BATCH measures the chip's headroom
+    # beyond it (samples/sec/chip = steps/sec * batch)
+    batch_size = int(_os.environ.get("TACORL_BENCH_BATCH", BATCH))
+    if batch_size != BATCH:
+        print(f"# batch_size override: {batch_size}", file=sys.stderr)
     module = _module(tiny=False, ad_overrides=ad_overrides)
-    batch = _batch(b=BATCH, t=WINDOW, hw=RAW_HW)
+    batch = _batch(b=batch_size, t=WINDOW, hw=RAW_HW)
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)
     # stacked (K, B, ...) batch for the scanned step
@@ -104,6 +110,8 @@ def main() -> None:
                 "spread_min": round(float(rates.min()), 3),
                 "spread_max": round(float(rates.max()), 3),
                 "timed_calls": TIMED_CALLS,
+                "batch": batch_size,
+                "samples_per_sec": round(steps_per_sec * batch_size, 1),
             }
         )
     )

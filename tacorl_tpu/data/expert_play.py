@@ -44,12 +44,13 @@ def _record_frame(env: FakeCalvinEnv, action: np.ndarray) -> Dict[str, np.ndarra
 
 def _wander_action(env: FakeCalvinEnv, waypoint: np.ndarray) -> np.ndarray:
     """Move the TCP toward a free-space waypoint with the gripper closed
-    (play data keeps the expert's gripper convention)."""
+    (play data keeps the expert's gripper convention); interior actions,
+    like the expert (see FakeCalvinEnv.expert_action)."""
     action = np.zeros(7, dtype=np.float32)
     action[-1] = -1.0
     action[:3] = np.clip(
         (waypoint - env.robot_obs[:3]) / env.action_scale, -1, 1
-    )
+    ) * 0.7
     return action
 
 
@@ -62,6 +63,7 @@ def generate_expert_play(
     max_task_steps: int = 40,
     idle_steps: Tuple[int, int] = (2, 5),
     action_noise: float = 0.05,
+    expert_gain: float = 0.7,
     seed: int = 0,
     tasks: Optional[Dict] = None,
     task_set: str = "hard",
@@ -105,12 +107,15 @@ def generate_expert_play(
                 env.start_info = start_info
                 completed = False
                 for _ in range(max_task_steps):
-                    action = env.expert_action()
+                    action = env.expert_action(gain=expert_gain)
+                    # clip to strictly-interior bounds: saturated targets are
+                    # degenerate for the discretized-logistic NLL (see
+                    # FakeCalvinEnv.expert_action)
                     action[:6] = np.clip(
                         action[:6]
                         + rng.randn(6).astype(np.float32) * action_noise,
-                        -1,
-                        1,
+                        -0.95,
+                        0.95,
                     )
                     frames.append(_record_frame(env, action))
                     env.step(action)

@@ -309,9 +309,17 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
 
     # -- scripted expert (for tests) ---------------------------------------------
 
-    def expert_action(self) -> np.ndarray:
+    def expert_action(self, gain: float = 1.0) -> np.ndarray:
         """Move toward the first unfinished selected task's handle with the
-        gripper closed."""
+        gripper closed.
+
+        ``gain < 1`` keeps the continuous dims strictly INSIDE the action
+        bounds. Demonstration data whose actions saturate at the bounds is
+        pathological for the discretized-logistic decoder: the +-1 edge bins
+        absorb the distribution's tails, so an unconditional large-scale
+        mixture already scores ~log 2 per saturated dim and NLL training
+        never has to learn the state/plan conditioning (the real CALVIN
+        teleop deltas are interior, so the reference never hits this)."""
         remaining = [
             t for t in self.selected_tasks if t not in self.get_successful_tasks()
         ]
@@ -321,5 +329,5 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
             return action
         _dim, handle, _t = self.tasks.tasks[remaining[0]]
         delta = np.asarray(handle) - self.robot_obs[:3]
-        action[:3] = np.clip(delta / self.action_scale, -1, 1)
+        action[:3] = np.clip(delta / self.action_scale, -1, 1) * gain
         return action

@@ -101,6 +101,15 @@ class LMPVisionEncoder(nn.Module):
         x = act(self.conv1(x))
         x = act(self.conv2(x))
         x = act(self.conv3(x))
+        if 0 in x.shape[-3:-1]:
+            # XLA happily reduces over zero-size dims, so without this guard
+            # a too-small input (e.g. 32x32 through the 8/4,4/2,3/1 stack)
+            # SILENTLY yields an empty feature map and a constant embedding
+            raise ValueError(
+                f"LMPVisionEncoder conv stack collapsed to spatial size "
+                f"{x.shape[-3:-1]} — input image too small for the "
+                f"8/4, 4/2, 3/1 conv strides (needs >= ~48px)"
+            )
         return self.ssam(x.astype(jnp.float32))
 
     def get_dist(self, x: Array) -> DiagNormal:
