@@ -20,7 +20,14 @@ FAST_TESTS := \
 	tests/test_env_adapters.py \
 	tests/test_reproducibility.py
 
-.PHONY: test-fast test test-all
+#   make test-e2e    train-to-success integration runs (tens of minutes:
+#                    trains Play-LMP + TACO-RL to rollout success on the
+#                    fake CALVIN env through scripts/train.py)
+
+.PHONY: test-fast test test-all test-e2e
+test-e2e:
+	$(PYTEST) -m e2e tests/test_train_to_success.py
+
 test-fast:
 	$(PYTEST) $(FAST_TESTS)
 
@@ -28,4 +35,4 @@ test:
 	$(PYTEST) -m "not slow" tests/
 
 test-all:
-	$(PYTEST) tests/
+	$(PYTEST) -m "not e2e" tests/
