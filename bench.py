@@ -67,15 +67,16 @@ def main() -> None:
     # protocol pins batch 64; TACORL_BENCH_BATCH measures the chip's headroom
     # beyond it (samples/sec/chip = steps/sec * batch)
     batch_size = int(_os.environ.get("TACORL_BENCH_BATCH", BATCH))
-    if batch_size != BATCH:
-        print(f"# batch_size override: {batch_size}", file=sys.stderr)
+    scan_k = int(_os.environ.get("TACORL_BENCH_K", SCAN_K))
+    if batch_size != BATCH or scan_k != SCAN_K:
+        print(f"# batch_size={batch_size} scan_k={scan_k}", file=sys.stderr)
     module = _module(tiny=False, ad_overrides=ad_overrides)
     batch = _batch(b=batch_size, t=WINDOW, hw=RAW_HW)
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)
     # stacked (K, B, ...) batch for the scanned step
     stacked = jax.device_put(
-        jax.tree.map(lambda x: np.broadcast_to(x, (SCAN_K,) + x.shape), batch)
+        jax.tree.map(lambda x: np.broadcast_to(x, (scan_k,) + x.shape), batch)
     )
     scanned = module.make_scanned_train_step()
     scalars = {"kl_beta": jnp.asarray(1e-3)}
@@ -94,7 +95,7 @@ def main() -> None:
         per_call.append(time.perf_counter() - t0)
     assert np.isfinite(loss)
 
-    rates = SCAN_K / np.asarray(per_call)  # steps/s of each timed call
+    rates = scan_k / np.asarray(per_call)  # steps/s of each timed call
     steps_per_sec = float(np.median(rates))
     print(
         json.dumps(

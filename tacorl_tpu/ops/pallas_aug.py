@@ -100,15 +100,14 @@ def _jitter_kernel(img_ref, factors_ref, out_ref):
     in-kernel math is f32 in VMEM."""
     x = img_ref[0].astype(jnp.float32) * (1.0 / 255.0)  # (3, H, W) planar
     x = jnp.clip(x, 0.0, 1.0)
-    i = pl.program_id(0)
-    bf = factors_ref[i, 0]
-    cf = factors_ref[i, 1]
-    hf = factors_ref[i, 2]
-    apply = factors_ref[i, 6] > 0.5
+    bf = factors_ref[0, 0, 0]
+    cf = factors_ref[0, 0, 1]
+    hf = factors_ref[0, 0, 2]
+    apply = factors_ref[0, 0, 6] > 0.5
 
     y = x
     for slot in range(3):
-        op = factors_ref[i, 3 + slot].astype(jnp.int32)
+        op = factors_ref[0, 0, 3 + slot].astype(jnp.int32)
         y = jnp.where(
             op == 0,
             _adjust_brightness(y, bf),
@@ -129,6 +128,16 @@ def fused_jitter_normalize(
     n, c, h, w = images.shape
     assert c == 3, "planar (N, 3, H, W) expected"
     dtype = images.dtype if images.dtype == jnp.bfloat16 else jnp.float32
+    # Per-image factor row blocked into SMEM: a full (N, 8) SMEM table
+    # overflows the 1 MB smem budget at N >= ~2048 images/step (batch 128 x
+    # window 16 — found by the batch-scaling bench). Mosaic requires the
+    # last two block dims to equal the array dims (or 8/128-divisible), so
+    # the 8 factors ride a lane-padded (N, 1, 128) layout with a
+    # (1, 1, 128) block per grid step.
+    factors_padded = jnp.zeros((n, 1, 128), dtype=jnp.float32)
+    factors_padded = factors_padded.at[:, 0, :8].set(
+        factors.astype(jnp.float32)
+    )
     return pl.pallas_call(
         _jitter_kernel,
         grid=(n,),
@@ -137,9 +146,10 @@ def fused_jitter_normalize(
                 (1, c, h, w), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.ANY if interpret else pltpu.VMEM,
             ),
-            # full factors table in SMEM, indexed by program_id (Mosaic
-            # requires SMEM blocks to match the full array dims)
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 128), lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, c, h, w), lambda i: (i, 0, 0, 0),
@@ -147,7 +157,7 @@ def fused_jitter_normalize(
         ),
         out_shape=jax.ShapeDtypeStruct(images.shape, dtype),
         interpret=interpret,
-    )(images.astype(dtype), factors)
+    )(images.astype(dtype), factors_padded)
 
 
 def sample_jitter_factors(
