@@ -31,12 +31,12 @@ CFG = {
     "reward_scale": 10.0,
     "bc_epochs": 1,
     "transforms": {
-        "rgb_static": {"kind": "rgb", "size": [32, 32], "pad": 2}
+        "rgb_static": {"kind": "rgb", "size": [48, 48], "pad": 2}
     },
 }
 
 
-def make_batch(rng, bs=4, hw=32):
+def make_batch(rng, bs=4, hw=48):
     ks = jax.random.split(rng, 4)
     img = lambda k: (jax.random.uniform(k, (bs, hw, hw, 3)) * 255).astype(jnp.uint8)
     obs = {"observation": {"rgb_static": img(ks[0])}, "goal": {"rgb_static": img(ks[1])}}

@@ -32,12 +32,12 @@ SAC_CFG = {
     "q_network": {"num_layers": 2, "hidden_dim": 16},
     "warm_start_steps": 24,
     "replay_buffer_size": 1000,
-    "transforms": {"rgb_static": {"kind": "rgb", "size": [32, 32], "pad": 2}},
+    "transforms": {"rgb_static": {"kind": "rgb", "size": [48, 48], "pad": 2}},
 }
 
 
 def make_env():
-    return FakeCalvinEnv(image_hw=32, max_episode_steps=20)
+    return FakeCalvinEnv(image_hw=48, max_episode_steps=20)
 
 
 def test_replay_buffer_roundtrip(tmp_path):

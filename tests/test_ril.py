@@ -24,11 +24,11 @@ CFG = {
     "goal_encoder": {"out_features": 8, "hidden_size": 16},
     "high_level_policy": {"num_layers": 2, "hidden_dim": 16},
     "low_level_policy": {"num_layers": 2, "hidden_dim": 16},
-    "transforms": {"rgb_static": {"kind": "rgb", "size": [32, 32], "pad": 2}},
+    "transforms": {"rgb_static": {"kind": "rgb", "size": [48, 48], "pad": 2}},
 }
 
 
-def make_batch(rng, b=4, hw=32):
+def make_batch(rng, b=4, hw=48):
     ks = jax.random.split(rng, 4)
     img = lambda k: (jax.random.uniform(k, (b, hw, hw, 3)) * 255).astype(jnp.uint8)
     return {
@@ -42,7 +42,7 @@ def make_batch(rng, b=4, hw=32):
 
 def test_ril_dataset(tmp_path):
     generate_synthetic_calvin(
-        tmp_path, n_train_episodes=1, n_val_episodes=1, episode_len=40, image_hw=32
+        tmp_path, n_train_episodes=1, n_val_episodes=1, episode_len=40, image_hw=48
     )
     ds = RILDataset(
         tmp_path / "training",
@@ -53,7 +53,7 @@ def test_ril_dataset(tmp_path):
     assert len(ds) == 39
     item = ds.sample(0, np.random.default_rng(0))
     for k in ("obs", "low_level_goal", "high_level_goal", "high_level_action"):
-        assert item[k]["rgb_static"].shape == (32, 32, 3)
+        assert item[k]["rgb_static"].shape == (48, 48, 3)
         assert "rel_actions_world" not in item[k]
     assert item["low_level_action"].shape == (7,)
 
