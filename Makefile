@@ -34,5 +34,22 @@ test-fast:
 test:
 	$(PYTEST) -m "not slow" tests/
 
+# Sharded heavy lane: each shard fits a single 590 s review window on this
+# 1-core host even cold-cache (the persistent JAX compile cache makes warm
+# reruns much faster); run shards in SEPARATE serial invocations.
+HEAVY_SHARD_1 := tests/test_play_lmp.py tests/test_scanned_step.py tests/test_networks.py
+HEAVY_SHARD_2 := tests/test_cql.py tests/test_tacorl.py tests/test_ril.py tests/test_online_rl.py
+HEAVY_SHARD_3 := tests/test_d4rl.py tests/test_torch_convert.py tests/test_full_model_parity.py
+HEAVY_SHARD_4 := tests/test_evaluation.py tests/test_callbacks.py tests/test_image_aug.py tests/test_pallas_aug.py tests/test_multichip_rl.py tests/test_train_cli.py tests/test_mesh.py tests/test_multiprocess.py tests/test_trainer_robustness.py tests/test_expert_play.py
+
+test-heavy-1:
+	$(PYTEST) -m "not slow" $(HEAVY_SHARD_1)
+test-heavy-2:
+	$(PYTEST) -m "not slow" $(HEAVY_SHARD_2)
+test-heavy-3:
+	$(PYTEST) -m "not slow" $(HEAVY_SHARD_3)
+test-heavy-4:
+	$(PYTEST) -m "not slow" $(HEAVY_SHARD_4)
+
 test-all:
 	$(PYTEST) -m "not e2e" tests/
