@@ -49,7 +49,7 @@ TINY_SAC_OVERRIDES = [
     "module.q_network.hidden_dim=16",
     "env.image_hw=32",
     "env.max_episode_steps=10",
-    "transforms.rgb_static.size=[32,32]",
+    "transforms.rgb_static.size=[48,48]",
     "transforms.rgb_static.pad=2",
 ]
 
@@ -180,7 +180,7 @@ TINY_LMP_OVERRIDES = [
     "module.action_decoder.num_layers=1",
     "module.action_decoder.n_mixtures=4",
     "module.plan_proposal.policy.hidden_dim=16",
-    "transforms.rgb_static.size=[32,32]",
+    "transforms.rgb_static.size=[48,48]",
     "transforms.rgb_static.pad=2",
 ]
 
@@ -221,7 +221,7 @@ def test_play_lmp_then_tacorl_chain_from_cli(tmp_path):
         "module.q_network.hidden_dim=16",
         "module.n_action_samples=2",
         "module.bc_epochs=0",
-        "transforms.rgb_static.size=[32,32]",
+        "transforms.rgb_static.size=[48,48]",
         "transforms.rgb_static.pad=2",
     ])
     lines = [
