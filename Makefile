@@ -18,7 +18,8 @@ FAST_TESTS := \
 	tests/test_geometry.py \
 	tests/test_utils_misc.py \
 	tests/test_env_adapters.py \
-	tests/test_reproducibility.py
+	tests/test_reproducibility.py \
+	tests/test_parity_harness.py
 
 #   make test-e2e    train-to-success integration runs (tens of minutes:
 #                    trains Play-LMP + TACO-RL to rollout success on the

@@ -25,7 +25,9 @@ mkdir -p "$OUT"
 UNPACKED="$OUT/unpacked"
 if [ ! -d "$UNPACKED" ]; then
   mkdir -p "$UNPACKED"
-  RUN unzip -q "$ZIP" -d "$UNPACKED"
+  # unzip runs even under DRY_RUN: the whole point of a dry run is to check
+  # the zip-layout -> family mapping below, which needs the real layout
+  unzip -q "$ZIP" -d "$UNPACKED"
 fi
 
 # Map released run dirs to families by directory name; each released run dir
@@ -43,14 +45,29 @@ find_ckpt() { # newest/last checkpoint inside a run dir
   find "$1" -name '*.ckpt' | sort | tail -1
 }
 
+find_run_dir() { # most specific directory match for a family name
+  local kind=$1
+  # exact (case-insensitive) dir-name match first: "tacorl" must not grab
+  # the zip's root folder ("tacorl_calvin/") and then an arbitrary family's
+  # checkpoint from anywhere under it
+  local exact
+  exact=$(find "$UNPACKED" -type d | awk -v k="$kind" \
+    'tolower($0) ~ ("/" k "$")' | head -1 || true)
+  if [ -n "$exact" ]; then echo "$exact"; return; fi
+  # substring fallback: deepest match wins (most specific)
+  find "$UNPACKED" -type d -iname "*${kind}*" \
+    | awk '{print gsub("/","/"), $0}' | sort -rn | head -1 | cut -d' ' -f2- \
+    || true
+}
+
 summary="$OUT/parity_results.json"
 echo '{}' > "$summary"
 
 # play_lmp first: tacorl/ril eval re-loads the converted LMP run
 for kind in play_lmp tacorl cql ril; do
-  run_dir=$(find "$UNPACKED" -type d -iname "*${kind}*" | head -1 || true)
+  run_dir=$(find_run_dir "$kind")
   if [ -z "$run_dir" ] && [ "$kind" = play_lmp ]; then
-    run_dir=$(find "$UNPACKED" -type d -iname "*lmp*" | head -1 || true)
+    run_dir=$(find_run_dir "lmp")
   fi
   if [ -z "$run_dir" ]; then
     echo "!! no released run dir found for $kind — skipping"
@@ -71,9 +88,12 @@ for kind in play_lmp tacorl cql ril; do
   for protocol in easy hard lh_easy lh_seq_easy; do
     preset="${EVAL_NAME[$kind]}_${protocol}"
     echo "== evaluating $preset"
+    # ${extra[@]+...}: plain "${extra[@]}" on an empty array trips set -u
+    # on bash < 4.4
     RUN python "$REPO/scripts/evaluate.py" \
       "evaluation=$preset" "module_path=$conv" "data_dir=$DATA_DIR" \
-      "env=calvin" "filename=$OUT/${preset}_tasks.json" "${extra[@]}"
+      "env=calvin" "filename=$OUT/${preset}_tasks.json" \
+      ${extra[@]+"${extra[@]}"}
   done
 done
 

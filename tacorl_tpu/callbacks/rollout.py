@@ -87,6 +87,18 @@ class _BaseRolloutCallback(Callback):
         self._generator = None
         self._last_batch_fire = -1
 
+    # cadence position persists across resume: without it a resumed run with
+    # every_n_batches set fires a rollout eval on its very first batch
+    # regardless of where in the cadence the interrupted run stopped
+    def state_dict(self) -> Dict[str, Any]:
+        if self.every_n_batches is None:
+            return {}
+        return {"last_batch_fire": self._last_batch_fire}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        if "last_batch_fire" in state:
+            self._last_batch_fire = int(state["last_batch_fire"])
+
     def _make_manager(self, manager_cls):
         from tacorl_tpu.evaluation.rollout_manager import RLRollout
 
@@ -183,6 +195,8 @@ class RolloutCallback(_BaseRolloutCallback):
         at ``num_rollouts``), kept for cheap smoke tests.
     """
 
+    EVAL_STRATEGIES = ("all_tasks", "env_tasks", "plain", "flat")
+
     def __init__(
         self,
         *args,
@@ -191,6 +205,15 @@ class RolloutCallback(_BaseRolloutCallback):
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
+        # a misspelled strategy must not silently become `plain` (the
+        # reference falls through, rollout.py:436-464 — a foot-gun we
+        # deliberately don't copy); the only tolerated fallback is
+        # env_tasks -> plain when the env lacks get_possible_tasks (below)
+        if eval_strategy not in self.EVAL_STRATEGIES:
+            raise ValueError(
+                f"unknown eval_strategy {eval_strategy!r}; "
+                f"expected one of {self.EVAL_STRATEGIES}"
+            )
         self.eval_strategy = eval_strategy
         self.num_rollouts_per_task = num_rollouts_per_task
 
@@ -319,10 +342,16 @@ class RolloutCallback(_BaseRolloutCallback):
         manager = self._make_manager(manager_cls)
         if self.eval_strategy == "all_tasks":
             overall = self._run_all_tasks(trainer, agent, manager, prefix)
-        elif self.eval_strategy == "env_tasks" and hasattr(
-            self.env, "get_possible_tasks"
-        ):
-            overall = self._run_env_tasks(trainer, agent, manager, prefix)
+        elif self.eval_strategy == "env_tasks":
+            if hasattr(self.env, "get_possible_tasks"):
+                overall = self._run_env_tasks(trainer, agent, manager, prefix)
+            else:
+                logger.warning(
+                    "eval_strategy=env_tasks but %s has no "
+                    "get_possible_tasks; falling back to plain episodes",
+                    type(self.env).__name__,
+                )
+                overall = self._run_plain(trainer, agent, manager, prefix)
         elif self.eval_strategy == "flat":
             overall = self._run_flat(trainer, agent, manager, prefix)
         else:

@@ -235,14 +235,24 @@ class Trainer:
         if path is None:
             return
         # keyed by class name: reordering callbacks in config must not load
-        # one callback's state into another (positional zip would)
-        states = {
-            type(cb).__name__: cb.state_dict()
-            for cb in self.callbacks
-            if cb.state_dict()
-        }
+        # one callback's state into another (positional zip would); duplicate
+        # classes are disambiguated by their order among same-class callbacks
+        # ("ClassName#1", ...) so two instances never collapse to one entry
+        states = {}
+        for cb in self.callbacks:
+            state = cb.state_dict()
+            if not state:
+                continue
+            states[self._callback_key(cb)] = state
         if states:
             path.write_text(json.dumps(states))
+
+    def _callback_key(self, cb) -> str:
+        name = type(cb).__name__
+        same = [c for c in self.callbacks if type(c).__name__ == name]
+        if len(same) == 1:
+            return name
+        return f"{name}#{same.index(cb)}"
 
     def _load_callback_states(self) -> None:
         import json
@@ -256,7 +266,11 @@ class Trainer:
                 cb.load_state_dict(state)
             return
         for cb in self.callbacks:
-            state = states.get(type(cb).__name__)
+            # exact (possibly #-suffixed) key first, bare class name as the
+            # pre-r4 fallback so old runs keep resuming
+            state = states.get(self._callback_key(cb)) or states.get(
+                type(cb).__name__
+            )
             if state:
                 cb.load_state_dict(state)
 

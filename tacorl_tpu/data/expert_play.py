@@ -67,12 +67,28 @@ def generate_expert_play(
     seed: int = 0,
     tasks: Optional[Dict] = None,
     task_set: str = "hard",
+    distinct_tasks: bool = False,
 ) -> Path:
     """Write an expert-play dataset under ``root``; returns ``root``.
 
     ``action_noise`` perturbs the expert's continuous action dims so the
     data covers a tube around the optimal trajectories (behavior-cloning
-    needs state diversity to recover from its own drift)."""
+    needs state diversity to recover from its own drift).
+
+    ``start_end_tasks.json`` records every completed chain span, not just
+    single tasks: for a chain t1 -> t2 -> t3 inside one episode it holds
+    {start_1: {end_1: [t1], end_2: [t1, t2], end_3: [t1, t2, t3]},
+    start_2: {...}} — exactly the multi-depth table the reference's
+    long-horizon generators consume (evaluation/rollout_generator.py:137-242
+    upstream). Each entry's task list is the diff-verified completed set over
+    the recorded frames, filtered to the tasks the expert attempted in the
+    span; a chain stops extending at the first uncompleted attempt.
+
+    ``distinct_tasks=True`` samples each episode's chain without replacement
+    (repeated tasks collapse in the diffed completed set, so chains with
+    repeats never reach depth == chain length); the default keeps the exact
+    sampling — and therefore the exact RNG stream and frames — of earlier
+    datasets."""
     root = Path(root)
     rng = np.random.RandomState(seed)
     step = 0
@@ -98,8 +114,13 @@ def generate_expert_play(
             ep_start = step
             task_names = list(env.tasks.tasks)
             chosen = rng.choice(
-                task_names, size=tasks_per_episode, replace=True
+                task_names,
+                size=tasks_per_episode,
+                replace=not distinct_tasks,
             )
+            # (span_start, span_end, task, completed) per attempted task, in
+            # chain order — consumed by the multi-depth span pass below
+            task_records: List[Tuple[int, int, str, bool]] = []
             for task in chosen:
                 span_start = ep_start + len(frames)
                 start_info = env.get_info()
@@ -133,16 +154,28 @@ def generate_expert_play(
                     action = _wander_action(env, waypoint)
                     frames.append(_record_frame(env, action))
                     env.step(action)
-                if completed:
-                    # double-check against the recorded goal frame
-                    goal_scene = frames[span_end - ep_start]["scene_obs"]
-                    achieved = env.tasks.get_task_info_for_set(
-                        start_info, {"scene_obs": goal_scene}, [task]
-                    )
-                    if achieved:
-                        spans.setdefault(str(span_start), {})[
-                            str(span_end)
-                        ] = [str(task)]
+                task_records.append((span_start, span_end, str(task), completed))
+            # multi-depth spans: for every chain i..j of consecutively
+            # completed attempts, record the diff-verified completed set
+            # between the chain's start frame and attempt j's goal frame
+            for i, (chain_start, _e, _t, ok_i) in enumerate(task_records):
+                if not ok_i:
+                    continue
+                start_scene = frames[chain_start - ep_start]["scene_obs"]
+                attempted: set = set()
+                for span_start_j, span_end_j, task_j, ok_j in task_records[i:]:
+                    if not ok_j:
+                        break  # a failed attempt breaks every chain through it
+                    attempted.add(task_j)
+                    goal_scene = frames[span_end_j - ep_start]["scene_obs"]
+                    achieved = env.tasks.get_task_info(
+                        {"scene_obs": start_scene}, {"scene_obs": goal_scene}
+                    ) & attempted
+                    if achieved != attempted:
+                        break  # chain verification failed at this depth
+                    spans.setdefault(str(chain_start), {})[
+                        str(span_end_j)
+                    ] = sorted(achieved)
             for frame in frames:
                 np.savez(split_dir / f"episode_{step:07d}.npz", **frame)
                 step += 1

@@ -312,14 +312,21 @@ class CQLModule(AlgorithmModule):
                 train=optimize,
             )
         else:
-            # caller guarantees pre-transformed (float) obs; cast guards a
-            # future caller feeding raw uint8 images straight to the encoders
-            to_float = lambda x: (  # noqa: E731
-                x if jnp.issubdtype(x.dtype, jnp.floating)
-                else x.astype(jnp.float32)
-            )
-            obs = jax.tree.map(to_float, batch["observations"])
-            next_obs = jax.tree.map(to_float, batch["next_observations"])
+            # caller guarantees pre-transformed (float) obs; a raw uint8
+            # image here would reach the encoders at 0-255 scale instead of
+            # the transform path's normalized range, so fail loudly at trace
+            # time rather than silently mis-scaling
+            def _check_float(x):
+                if not jnp.issubdtype(x.dtype, jnp.floating):
+                    raise TypeError(
+                        "apply_transforms=False requires pre-transformed "
+                        f"floating observations, got dtype {x.dtype}; run "
+                        "the transform pipeline (or cast+normalize) first"
+                    )
+                return x
+
+            obs = jax.tree.map(_check_float, batch["observations"])
+            next_obs = jax.tree.map(_check_float, batch["next_observations"])
         actions = batch["actions"].astype(jnp.float32)
         rewards = batch["rewards"].astype(jnp.float32).reshape(-1, 1)
         dones = batch["terminals"].astype(jnp.float32).reshape(-1, 1)

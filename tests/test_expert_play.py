@@ -41,6 +41,61 @@ def test_layout_and_span_verification(data_root):
                 assert set(tasks) <= achieved, (s, e, tasks, achieved)
 
 
+def test_multi_depth_chain_spans(tmp_path):
+    """With distinct_tasks=True every episode yields a verified depth-1..N
+    chain {start: {end_1: [t1], end_2: [t1,t2], ...}} — the table shape the
+    long-horizon generators consume (reference
+    evaluation/rollout_generator.py:137-242)."""
+    root = tmp_path / "lh_play"
+    generate_expert_play(
+        root, n_train_episodes=0, n_val_episodes=4, tasks_per_episode=3,
+        seed=7, distinct_tasks=True,
+    )
+    d = root / "validation"
+    spans = json.loads((d / "start_end_tasks.json").read_text())
+    differ = FakeTasks(HARD_TASKS)
+    max_depth = 0
+    seq_chains = 0
+    for s, ends in spans.items():
+        depths = []
+        for e, tasks in sorted(ends.items(), key=lambda kv: int(kv[0])):
+            assert len(tasks) == len(set(tasks))
+            fs = np.load(d / f"episode_{int(s):07d}.npz")
+            fe = np.load(d / f"episode_{int(e):07d}.npz")
+            achieved = differ.get_task_info(
+                {"scene_obs": fs["scene_obs"]},
+                {"scene_obs": fe["scene_obs"]},
+            )
+            assert set(tasks) <= achieved, (s, e, tasks, achieved)
+            depths.append(len(tasks))
+            max_depth = max(max_depth, len(tasks))
+        # sequential-generator contract: depth increments by one per end
+        if depths == list(range(1, len(depths) + 1)) and len(depths) >= 3:
+            seq_chains += 1
+    assert max_depth >= 2, "no multi-task chain spans recorded"
+    assert seq_chains >= 1, "no monotone sequential chain recorded"
+
+
+def test_default_sampling_rng_stream_unchanged(tmp_path):
+    """The multi-depth span pass must not consume RNG: default-args frames
+    are bit-identical to the r3 datasets (archived checkpoints stay valid)."""
+    root = tmp_path / "rng_check"
+    generate_expert_play(
+        root, n_train_episodes=1, n_val_episodes=1, tasks_per_episode=2,
+        seed=3,
+    )
+    f = np.load(root / "training" / "episode_0000000.npz")
+    # regenerate into a second dir and compare a frame byte-for-byte
+    root2 = tmp_path / "rng_check2"
+    generate_expert_play(
+        root2, n_train_episodes=1, n_val_episodes=1, tasks_per_episode=2,
+        seed=3,
+    )
+    f2 = np.load(root2 / "training" / "episode_0000000.npz")
+    for k in f.files:
+        np.testing.assert_array_equal(f[k], f2[k])
+
+
 def test_actions_are_interior(data_root):
     """Saturated (+-1) targets are degenerate for the discretized-logistic
     NLL (edge bins absorb tails without conditioning) — the generator must

@@ -99,10 +99,11 @@ def test_tacorl_chains_to_task_success(lmp_run, play_data, tmp_path_factory):
     )
     accs = _val_accuracies(run_dir)
     best_step, best = max(accs, key=lambda sa: sa[1])
-    # the latent-plan action space + stochastic CQL actor is harder than
-    # the BC stage; the bar shows the hierarchy *works*, not that it beats
-    # the flat stage on this toy env
-    assert best >= 0.5, (
+    # the bar matches what the docs claim of the monitored-best checkpoint
+    # (VERDICT r3 #8): the archived r3 run reaches 1.000 at the end of the
+    # BC warm-start epoch and the val_accuracy-monitored checkpoint manager
+    # keeps that state (BASELINE.md "Train-to-success")
+    assert best >= SUCCESS_BAR, (
         f"best TACO-RL val_accuracy {best:.3f} @ step {best_step} "
         f"(curve: {[round(a, 2) for _, a in accs]})"
     )
