@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark: Play-LMP train steps/sec/chip on CALVIN-shaped play windows.
+"""Benchmark: train steps/sec/chip for the four CALVIN training families.
 
-Runs the production-config Play-LMP training step (batch 64, window 16,
-128x128 rgb_static from raw 200x200 uint8 frames, LMPVision encoder,
-2048/4096 transformer posterior, 2048-hidden 2-layer RNN logistic-mixture
-decoder — the defaults of the reference's trainer/experiment configs) on
-synthetic device-resident batches.
+The headline metric is the production-config Play-LMP training step (batch
+64, window 16, 128x128 rgb_static from raw 200x200 uint8 frames, LMPVision
+encoder, 2048/4096 transformer posterior, 2048-hidden 2-layer RNN
+logistic-mixture decoder — the defaults of the reference's trainer/experiment
+configs) on synthetic device-resident batches. The same JSON line carries the
+other three families (TACO-RL, goal-conditioned CQL, Relay-IL) under
+``families`` so the driver artifact captures the full module matrix, not just
+the flagship (VERDICT r3 #3); builders and the measurement protocol are
+shared with scripts/bench_modules.py.
 
 Methodology notes (hard-won on the remote-TPU tunnel):
   * K train steps are scanned inside ONE executable
@@ -18,12 +22,14 @@ Baseline: the reference publishes no numbers; the ``vs_baseline`` denominator
 is the documented A100-PyTorch estimate in BASELINE.md.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N,
+   ..., "families": {"tacorl": {...}, "cql": {...}, "ril": {...}}}
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,6 +54,7 @@ TIMED_CALLS = 15
 
 def main() -> None:
     sys.path.insert(0, ".")
+    sys.path.insert(0, "./scripts")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import _batch, _module
@@ -57,18 +64,16 @@ def main() -> None:
 
     # A/B hook: JSON dict merged into the action-decoder config, e.g.
     #   TACORL_BENCH_AD='{"bf16_matmul": false, "hoisted_rnn": false}'
-    import json as _json
-    import os as _os
-
-    ad_overrides = _json.loads(_os.environ.get("TACORL_BENCH_AD", "null"))
+    ad_overrides = json.loads(os.environ.get("TACORL_BENCH_AD", "null"))
     if ad_overrides:
         print(f"# ad_overrides: {ad_overrides}", file=sys.stderr)
     # batch-scaling hook (BASELINE.md batch-scaling table): the reference's
     # protocol pins batch 64; TACORL_BENCH_BATCH measures the chip's headroom
     # beyond it (samples/sec/chip = steps/sec * batch)
-    batch_size = int(_os.environ.get("TACORL_BENCH_BATCH", BATCH))
-    scan_k = int(_os.environ.get("TACORL_BENCH_K", SCAN_K))
-    if batch_size != BATCH or scan_k != SCAN_K:
+    batch_size = int(os.environ.get("TACORL_BENCH_BATCH", BATCH))
+    scan_k = int(os.environ.get("TACORL_BENCH_K", SCAN_K))
+    ab_session = bool(ad_overrides) or batch_size != BATCH or scan_k != SCAN_K
+    if ab_session:
         print(f"# batch_size={batch_size} scan_k={scan_k}", file=sys.stderr)
     module = _module(tiny=False, ad_overrides=ad_overrides)
     batch = _batch(b=batch_size, t=WINDOW, hw=RAW_HW)
@@ -97,6 +102,35 @@ def main() -> None:
 
     rates = scan_k / np.asarray(per_call)  # steps/s of each timed call
     steps_per_sec = float(np.median(rates))
+
+    # the other three families, same protocol (skipped in A/B sessions, which
+    # only study the Play-LMP step; TACORL_BENCH_FAMILIES=play_lmp also skips)
+    families = {}
+    wanted = os.environ.get(
+        "TACORL_BENCH_FAMILIES", "play_lmp" if ab_session else "all"
+    )
+    if wanted != "play_lmp":
+        from bench_modules import FAMILY_BUILDERS, measure
+
+        names = (
+            ["tacorl", "cql", "ril"]
+            if wanted == "all"
+            else [n for n in wanted.split(",") if n != "play_lmp"]
+        )
+        for name in names:
+            fam_module, fam_batch, fam_scalars = FAMILY_BUILDERS[name]()
+            stats = measure(fam_module, fam_batch, fam_scalars)
+            print(f"# {name}: {stats}", file=sys.stderr)
+            families[name] = {
+                k: stats[k]
+                for k in (
+                    "steps_per_sec_per_chip",
+                    "spread_min",
+                    "spread_max",
+                    "timed_calls",
+                )
+            }
+
     print(
         json.dumps(
             {
@@ -113,6 +147,7 @@ def main() -> None:
                 "timed_calls": TIMED_CALLS,
                 "batch": batch_size,
                 "samples_per_sec": round(steps_per_sec * batch_size, 1),
+                **({"families": families} if families else {}),
             }
         )
     )

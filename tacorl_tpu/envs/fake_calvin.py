@@ -23,7 +23,7 @@ import numpy as np
 
 from tacorl_tpu.envs.base import GoalConditionedEnvBase
 
-__all__ = ["FakeCalvinEnv", "FakeTasks"]
+__all__ = ["FakeCalvinEnv", "FakePlayTableEnv", "FakeTasks"]
 
 ROBOT_OBS_DIM = 15
 SCENE_OBS_DIM = 24
@@ -290,7 +290,9 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
                     self.scene_obs[dim] += 0.2
         self._steps += 1
         reward, info = self._reward()
-        done = bool(reward) or self._steps >= self.max_episode_steps
+        # success-based termination (== bool(reward) for the sparse reward,
+        # and the right semantics under FakePlayTableEnv's dense shaping)
+        done = self._success() or self._steps >= self.max_episode_steps
         info["success"] = self._success()
         return self.get_obs(), reward, done, info
 
@@ -331,3 +333,58 @@ class FakeCalvinEnv(GoalConditionedEnvBase):
         delta = np.asarray(handle) - self.robot_obs[:3]
         action[:3] = np.clip(delta / self.action_scale, -1, 1) * gain
         return action
+
+
+class FakePlayTableEnv(FakeCalvinEnv):
+    """Single-task dense-reward variant (the fake counterpart of
+    CalvinPlayTableEnv / the reference's envs/play_table_env.py:11-102):
+    every episode selects the same task, the goal observation renders the
+    completed-task state, and the reward is shaped so online SAC has a
+    learnable signal — negative task-dim distance to target (the reference's
+    shaping) plus an optional negative TCP-to-handle term (this env's handle
+    zone is small relative to the random-policy state distribution, so pure
+    scene-distance reward gives sparse exploration signal; the TCP term keeps
+    the proof cheap while preserving the reward's optimum)."""
+
+    def __init__(
+        self,
+        task: str = "open_drawer",
+        dense_reward: bool = True,
+        tcp_shaping_weight: float = 0.2,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.task = task
+        self.dense_reward = dense_reward
+        self.tcp_shaping_weight = tcp_shaping_weight
+
+    def reset(self, **kwargs):
+        super().reset(**kwargs)
+        # fixed task; goal renders the scene with the task completed
+        dim, _handle, thresh = self.tasks.tasks[self.task]
+        cur = self.get_info()
+        goal_scene = self.scene_obs.copy()
+        goal_scene[dim] += thresh + 0.2
+        self._set_state(scene_obs=goal_scene)
+        self.goal = self._obs_dict(self.goal_modalities)
+        self._set_state(**cur)
+        self.start_info = self.get_info()
+        self.selected_tasks = [self.task]
+        return self.get_obs()
+
+    def _reward(self):
+        if not self.dense_reward:
+            return super()._reward()
+        dim, handle, thresh = self.tasks.tasks[self.task]
+        progress = float(
+            self.scene_obs[dim] - self.start_info["scene_obs"][dim]
+        )
+        scene_dist = max(thresh - progress, 0.0)
+        tcp_dist = float(
+            np.linalg.norm(self.robot_obs[:3] - np.asarray(handle))
+        )
+        reward = -scene_dist - self.tcp_shaping_weight * tcp_dist
+        return reward, {
+            "reward": reward,
+            "successful_tasks": self.get_successful_tasks(),
+        }

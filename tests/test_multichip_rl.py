@@ -71,6 +71,64 @@ def test_cql_dp8_matches_dp1():
         )
 
 
+def _tiny_tacorl(tmp_path, rng):
+    from tacorl_tpu.core.checkpoint import CheckpointManager
+    from tacorl_tpu.modules.play_lmp import PlayLMPModule
+    from tacorl_tpu.modules.tacorl import TACORLModule
+    from tests.test_play_lmp import TINY_CFG, make_batch
+    from tests.test_tacorl import tacorl_cfg
+
+    lmp = PlayLMPModule(dict(TINY_CFG))
+    lmp_state = lmp.init_state(rng, make_batch(rng))
+    run_dir = tmp_path / "lmp"
+    CheckpointManager(run_dir, config={"module": dict(TINY_CFG)}).save(
+        int(lmp_state.step), lmp_state
+    )
+    return TACORLModule(tacorl_cfg(run_dir))
+
+
+def test_tacorl_dp8_matches_dp1(tmp_path):
+    """dp=8 ≡ dp=1 parameter-level equivalence for the FULL TACO-RL update
+    (VERDICT r3 #4): frozen-posterior plan sampling, decoder finetune group,
+    actor/critic/alpha/alpha' updates and target-net Polyak all produce the
+    same numbers whether the batch rides one device or the 8-device mesh
+    (jax_threefry_partitionable makes the in-step sampling layout-invariant,
+    so this is exact up to fp reassociation)."""
+    from tests.test_tacorl import make_goal_batch
+
+    rng = jax.random.key(0)
+    module = _tiny_tacorl(tmp_path, rng)
+    batch = make_goal_batch(jax.random.key(1), b=8)
+    batch["disp"] = jnp.asarray([1, 2, -1, 1, 1, 3, -1, 2])
+    mesh8 = create_mesh()
+    mesh1 = create_mesh(dp=1, mp=1, devices=jax.devices()[:1])
+
+    state8 = module.init_state(rng, batch)
+    new8, metrics8 = _run_step(module, state8, batch, mesh8, rng)
+    state1 = module.init_state(rng, batch)
+    new1, metrics1 = _run_step(module, state1, batch, mesh1, rng)
+
+    assert metrics8.keys() == metrics1.keys()
+    for k in metrics8:
+        np.testing.assert_allclose(
+            metrics8[k], metrics1[k], rtol=2e-4, atol=2e-5, err_msg=k
+        )
+    # every updated parameter leaf agrees: actor, critics, finetuned decoder,
+    # grafted-frozen subtrees (trivially), alpha and alpha'
+    flat8 = jax.tree.leaves(new8.params)
+    flat1 = jax.tree.leaves(new1.params)
+    assert len(flat8) == len(flat1)
+    for a, b in zip(flat8, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    # target networks advanced identically (Polyak under sharding)
+    for a, b in zip(jax.tree.leaves(new8.aux), jax.tree.leaves(new1.aux)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
 @pytest.mark.slow
 def test_tacorl_dp8_step_with_frozen_subtrees(tmp_path):
     """One dp=8 TACO-RL step: checkpoint-grafted actor, frozen

@@ -93,3 +93,29 @@ def test_two_process_train_step_matches_single_process():
         results[0]["total_loss"], rel=1e-4
     )
     assert np.isfinite(results[0]["grad_norm"])
+
+    # the CQL step ran on the same 2-process mesh: both hosts observe the
+    # same global losses, and they match the single-process full-batch run
+    assert results[0]["cql_q1_loss"] == pytest.approx(
+        results[1]["cql_q1_loss"], rel=1e-5
+    )
+    assert results[0]["cql_actor_loss"] == pytest.approx(
+        results[1]["cql_actor_loss"], rel=1e-5
+    )
+    from __graft_entry__ import _cql_batch, _cql_module
+
+    cql = _cql_module()
+    cql_full = _cql_batch(b=16)
+    cql_state = jax.device_put(
+        cql.init_state(rng, cql_full), replicated_sharding(mesh)
+    )
+    cql_scalars = {
+        k: jnp.asarray(v, dtype=jnp.float32)
+        for k, v in cql.step_scalars().items()
+    }
+    _, cql_metrics = cql.make_train_step()(
+        cql_state, shard_batch(cql_full, mesh), rng, cql_scalars
+    )
+    assert float(cql_metrics["q1_loss"]) == pytest.approx(
+        results[0]["cql_q1_loss"], rel=1e-4
+    )

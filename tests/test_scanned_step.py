@@ -43,6 +43,55 @@ def test_scanned_step_matches_sequential(rng):
     )
 
 
+def test_scanned_step_dp8_matches_dp1_sequential(rng):
+    """The scanned multi-step dispatch under the trainer's stacked sharding
+    (scan axis unsharded, batch axis dp-sharded over the 8-device mesh —
+    core/trainer.py stacked P(None, "dp") layout) produces the same numbers
+    as plain sequential steps on one device (VERDICT r3 #4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tacorl_tpu.parallel.mesh import create_mesh, replicated_sharding
+
+    module = PlayLMPModule(dict(TINY_CFG))
+    k = 2
+    batches = [
+        make_batch(jax.random.fold_in(rng, i), b=8) for i in range(k)
+    ]
+    scalars = {"kl_beta": jnp.asarray(1e-3)}
+
+    # dp=8 scanned dispatch, exactly the trainer's put_fn layout
+    mesh8 = create_mesh(devices=jax.devices()[:8])
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    stacked_sharding = NamedSharding(mesh8, P(None, "dp"))
+    stacked = jax.tree.map(
+        lambda x: jax.device_put(x, stacked_sharding), stacked
+    )
+    state8 = jax.device_put(
+        module.init_state(rng, batches[0]), replicated_sharding(mesh8)
+    )
+    state8, metrics8 = module.make_scanned_train_step()(
+        state8, stacked, rng, scalars
+    )
+
+    # dp=1 sequential reference
+    state1 = module.init_state(rng, batches[0])
+    step = module.make_train_step()
+    for b in batches:
+        state1, metrics1 = step(state1, b, rng, scalars)
+
+    assert int(state8.step) == int(state1.step) == k
+    np.testing.assert_allclose(
+        float(metrics8["total_loss"]), float(metrics1["total_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(state8.params), jax.tree.leaves(state1.params)
+    ):
+        # Adam amplifies benign fp-reassociation drift between the two
+        # compilations (same bound as the single-device scan test above)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
 def test_trainer_steps_per_call(tmp_path, rng):
     from tacorl_tpu.core.trainer import Trainer
     from tacorl_tpu.data.datamodule import BasicDataModule
