@@ -27,7 +27,7 @@ FAST_TESTS := \
 
 .PHONY: test-fast test test-all test-e2e
 test-e2e:
-	$(PYTEST) -m e2e tests/test_train_to_success.py
+	$(PYTEST) -m e2e tests/
 
 test-fast:
 	$(PYTEST) $(FAST_TESTS)
