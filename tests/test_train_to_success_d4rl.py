@@ -51,6 +51,9 @@ def d4rl_lmp_run(d4rl_data, tmp_path_factory):
             f"dataset_path={d4rl_data}",
             f"run_dir={run_dir}",
             "trainer.max_steps=8000",
+            # the archived r4 evidence run's cadence (BASELINE.md): rollout
+            # eval every 5 epochs — it reached sustained 1.0 from ~step 6900
+            "callbacks.rollout.every_n_epochs=5",
             "platform=cpu",
         ]
     )
@@ -92,3 +95,18 @@ def test_tacorl_d4rl_trains_to_success(d4rl_tacorl_run):
     monitored-checkpoint path (reference: tacorl_d4rl.py:17-173)."""
     step, best = _best(d4rl_tacorl_run, "val_accuracy")
     assert best >= SUCCESS_BAR, f"best val_accuracy {best:.3f} @ {step}"
+
+
+def test_tacorl_d4rl_cql_phase_recovers(d4rl_tacorl_run):
+    """The CQL phase itself re-attains the bar, not just the BC warm-start:
+    after the transition dip the archived r4 run recovers to sustained 1.0
+    from ~step 1250 (BASELINE.md) — assert the tail of the curve, so the
+    success is the RL phase's own, not monitored-selection luck."""
+    vals = []
+    with open(Path(d4rl_tacorl_run) / "metrics.jsonl") as f:
+        for line in f:
+            d = json.loads(line)
+            if "val_accuracy" in d:
+                vals.append(d["val_accuracy"])
+    tail = vals[-10:]
+    assert max(tail) >= SUCCESS_BAR, f"no recovery in the tail: {tail}"
