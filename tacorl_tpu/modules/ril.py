@@ -98,8 +98,10 @@ class RILNet(nn.Module):
     def low_level_action(self, obs: Dict, subgoal: Array) -> Array:
         state = self._emb(obs, self.ll_modalities)
         x = jnp.concatenate([state, subgoal], axis=-1)
-        mean, _std = self.low_level_policy(x)
-        return jnp.tanh(mean)
+        # deterministic Actor path: tanh(mean) + argmax gripper when the
+        # actor is discrete-gripper (reference rollout_manager.py:480-510)
+        actions, _ = self.low_level_policy.get_actions(x, deterministic=True)
+        return actions
 
 
 class RILModule(AlgorithmModule):
@@ -124,11 +126,18 @@ class RILModule(AlgorithmModule):
             p_cls = get_class(
                 p_cfg.pop("_target_", "tacorl_tpu.networks.actor.MLPPolicy")
             )
+            # the reference's low level is a discrete-gripper actor
+            # (relay_imitation_learning.yaml: actor@low_level_policy:
+            # discrete_gripper) — TanhNormal on the +-1 gripper targets fits
+            # the boundary poorly and degrades low-level BC. The flag shapes
+            # both the trunk heads (MLPPolicy) and the Actor, like cql.py
+            discrete_gripper = bool(p_cfg.get("discrete_gripper", False))
             return Actor(
                 policy=p_cls(action_dim=action_dim, **p_cfg),
                 action_dim=action_dim,
                 state_dim=state_dim,
                 goal_dim=goal_out,
+                discrete_gripper=discrete_gripper,
             )
 
         hl_dim = encoder.calc_state_dim(self.hl_mods)
