@@ -119,8 +119,10 @@ def test_tacorl_dp8_matches_dp1(tmp_path):
     flat1 = jax.tree.leaves(new1.params)
     assert len(flat8) == len(flat1)
     for a, b in zip(flat8, flat1):
+        # atol covers f32 reduction-order noise through Adam's rescaling
+        # (observed flake: 1/36864 elements at 3.4e-5 after one update)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4
         )
     # target networks advanced identically (Polyak under sharding)
     for a, b in zip(jax.tree.leaves(new8.aux), jax.tree.leaves(new1.aux)):
