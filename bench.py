@@ -104,7 +104,10 @@ def main() -> None:
     steps_per_sec = float(np.median(rates))
 
     # the other three families, same protocol (skipped in A/B sessions, which
-    # only study the Play-LMP step; TACORL_BENCH_FAMILIES=play_lmp also skips)
+    # only study the Play-LMP step; TACORL_BENCH_FAMILIES=play_lmp also skips).
+    # A failing family bench must never discard the already-measured headline
+    # (ADVICE r4): unknown names are skipped with a warning and any family
+    # error is reported to stderr, then the headline JSON still prints.
     families = {}
     wanted = os.environ.get(
         "TACORL_BENCH_FAMILIES", "play_lmp" if ab_session else "all"
@@ -118,8 +121,19 @@ def main() -> None:
             else [n for n in wanted.split(",") if n != "play_lmp"]
         )
         for name in names:
-            fam_module, fam_batch, fam_scalars = FAMILY_BUILDERS[name]()
-            stats = measure(fam_module, fam_batch, fam_scalars)
+            if name not in FAMILY_BUILDERS:
+                print(
+                    f"# WARNING: unknown family {name!r} "
+                    f"(known: {sorted(FAMILY_BUILDERS)}) — skipped",
+                    file=sys.stderr,
+                )
+                continue
+            try:
+                fam_module, fam_batch, fam_scalars = FAMILY_BUILDERS[name]()
+                stats = measure(fam_module, fam_batch, fam_scalars)
+            except Exception as exc:  # noqa: BLE001 — headline must survive
+                print(f"# WARNING: family {name} failed: {exc!r}", file=sys.stderr)
+                continue
             print(f"# {name}: {stats}", file=sys.stderr)
             families[name] = {
                 k: stats[k]

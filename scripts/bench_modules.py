@@ -63,8 +63,13 @@ def measure(module, batch, scalars, scan_k: int = SCAN_K,
             timed_calls: int = TIMED_CALLS) -> dict:
     """Median-of-N steps/sec of the scanned train step, spread included.
 
-    Warmup (compile + 1 real call) happens inside; every timed call
-    host-fetches a dependent loss to force remote completion."""
+    Warmup (compile call + 1 discarded real call) happens inside; every timed
+    call host-fetches a dependent loss to force remote completion. The second
+    warmup call matters: the first post-compile dispatch through the remote
+    tunnel pays one-off transfer/queue costs that showed up as a ~23% low
+    outlier in the r4 TACO-RL family spread (VERDICT r4 weak #4) — discarding
+    it keeps the timed window steady-state, matching bench.py's
+    WARMUP_CALLS=2 protocol."""
     rng = jax.random.key(0)
     state = module.init_state(rng, batch)
     stacked = jax.device_put(
@@ -81,6 +86,8 @@ def measure(module, batch, scalars, scan_k: int = SCAN_K,
     loss_key = "total_loss" if "total_loss" in metrics else "q1_loss"
     _ = float(metrics[loss_key])
     compile_s = time.time() - t0
+    state, metrics = scanned(state, stacked, rng, scalars)
+    _ = float(metrics[loss_key])
     per_call = []
     for _ in range(timed_calls):
         t0 = time.perf_counter()

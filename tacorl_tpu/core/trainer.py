@@ -275,6 +275,11 @@ class Trainer:
                 cb.load_state_dict(state)
 
     def validate(self, module, datamodule, val_step=None) -> Dict[str, float]:
+        """Run a validation pass; returns ``self._last_val_metrics`` — the
+        ``validation/``-prefixed mean val-loss metrics (when a val loader
+        exists) plus any raw-key metrics rollout-eval callbacks injected
+        (e.g. ``val_accuracy``) — the same dict the checkpoint monitor sees,
+        in both the with- and without-val-loader paths (ADVICE r4)."""
         val_loader = datamodule.val_loader()
         if val_loader is None:
             # train-only datamodules (e.g. D4RL, reference
@@ -310,4 +315,4 @@ class Trainer:
         self._cb(
             "on_validation_end", module, mean_metrics, outputs, self.epoch
         )
-        return mean_metrics
+        return dict(self._last_val_metrics)

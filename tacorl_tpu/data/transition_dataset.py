@@ -52,6 +52,13 @@ class GoalCondTransitionDataset:
             "geometric": 0.5,
             "similar_robot_obs": 0.5,
         }
+        # drop zero-probability strategies: config-group merges can only
+        # zero out an inherited strategy, not delete its key, and a present
+        # key would otherwise trigger its setup cost (e.g. the
+        # similar_robot_obs NN-index build)
+        self.goal_strategy_prob = {
+            k: float(v) for k, v in self.goal_strategy_prob.items() if v > 0
+        }
         assert np.isclose(sum(self.goal_strategy_prob.values()), 1.0)
         self.initial_horizon = initial_horizon
         self.current_horizon = initial_horizon

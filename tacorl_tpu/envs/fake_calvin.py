@@ -359,6 +359,13 @@ class FakePlayTableEnv(FakeCalvinEnv):
         self.tcp_shaping_weight = tcp_shaping_weight
 
     def reset(self, **kwargs):
+        # goal-conditioned resets (task_info / explicit state) keep the base
+        # env's semantics — the fixed-task override below would silently
+        # discard stored start/goal pairs otherwise (ADVICE r4)
+        if kwargs.get("task_info") is not None or any(
+            kwargs.get(k) is not None for k in ("robot_obs", "scene_obs")
+        ):
+            return super().reset(**kwargs)
         super().reset(**kwargs)
         # fixed task; goal renders the scene with the task completed
         dim, _handle, thresh = self.tasks.tasks[self.task]

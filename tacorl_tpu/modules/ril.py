@@ -130,8 +130,18 @@ class RILModule(AlgorithmModule):
             # (relay_imitation_learning.yaml: actor@low_level_policy:
             # discrete_gripper) — TanhNormal on the +-1 gripper targets fits
             # the boundary poorly and degrades low-level BC. The flag shapes
-            # both the trunk heads (MLPPolicy) and the Actor, like cql.py
+            # both the trunk heads (MLPPolicy) and the Actor, like cql.py.
+            # It stays in p_cfg for the MLPPolicy-family trunks; custom
+            # _target_ classes that don't declare it (ADVICE r4) get it
+            # stripped here rather than failing opaquely at flax init.
             discrete_gripper = bool(p_cfg.get("discrete_gripper", False))
+            import inspect
+
+            fields = inspect.signature(p_cls.__init__).parameters
+            if "discrete_gripper" not in fields and not any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in fields.values()
+            ):
+                p_cfg.pop("discrete_gripper", None)
             return Actor(
                 policy=p_cls(action_dim=action_dim, **p_cfg),
                 action_dim=action_dim,
