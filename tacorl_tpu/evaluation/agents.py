@@ -24,6 +24,7 @@ __all__ = [
     "LatentPlanAgent",
     "TACORLAgent",
     "RILAgent",
+    "ScriptedExpertAgent",
     "make_agent",
 ]
 
@@ -287,3 +288,28 @@ class RILAgent:
             self.params, _batched(obs["observation"]), subgoal, key
         )
         return np.asarray(action[0])
+
+
+class ScriptedExpertAgent:
+    """Protocol-ceiling probe: drives the fake env's scripted expert through
+    the SAME rollout managers / evaluation protocols learned policies use.
+
+    The expert is upper-bound-by-construction on this env (it generated the
+    demonstrations), so running it through ``evaluate_lh_seq_tasks`` et al.
+    measures what the PROTOCOL itself permits — compounding resets, goal
+    diffing, step budgets — independent of any learned policy (VERDICT r4
+    missing #4: the "env ceiling" claim needs a measured ceiling).
+
+    Host-side only: ``act`` ignores the jax key and asks the env for its
+    expert action, so it plugs into ``RLRollout`` unchanged.
+    """
+
+    def __init__(self, env, gain: float = 1.0):
+        self.env = env
+        self.gain = gain
+
+    def reset(self) -> None:
+        pass
+
+    def act(self, obs: Dict, key) -> np.ndarray:
+        return self.env.expert_action(gain=self.gain)
