@@ -313,3 +313,58 @@ class ScriptedExpertAgent:
 
     def act(self, obs: Dict, key) -> np.ndarray:
         return self.env.expert_action(gain=self.gain)
+
+
+class OracleSubgoalAgent:
+    """RIL low-level probe: a GROUND-TRUTH high level for the hierarchical
+    rollout (VERDICT r4 #6 — isolate the low level from the learned high
+    level).
+
+    At every replan, a deep copy of the live env is rolled ``lookahead``
+    steps forward with the scripted expert, and the reached state is embedded
+    through the module's own goal path (``RILNet.encode_goal`` — exactly the
+    embedding training used for ``low_level_goal``). Because the oracle
+    replans from the policy's CURRENT state, subgoals stay reachable and
+    in-distribution even after the low level drifts — unlike dataset future
+    frames, which desynchronize from the rollout (the r4 probe's confound).
+
+    Plugs into RILRollout via the same propose_plan/decode_step surface as
+    RILAgent.
+    """
+
+    def __init__(self, module, state, env, lookahead: int = 12,
+                 gain: float = 1.0):
+        self.module = module
+        self.params = state.params
+        self.env = env
+        self.lookahead = lookahead
+        self.gain = gain
+        net, transforms = module.net, module.transforms
+
+        @jax.jit
+        def embed(params, goal):
+            goal_t = transforms(jax.random.key(0), goal, train=False)
+            return net.apply({"params": params}, goal_t, method="encode_goal")
+
+        self._embed = embed
+        _high, self._low = module.make_policy_fns()
+
+    def reset(self) -> None:
+        pass
+
+    def propose_plan(self, obs: Dict, key) -> np.ndarray:
+        import copy
+
+        sim = copy.deepcopy(self.env)
+        for _ in range(self.lookahead):
+            if sim._success():
+                break
+            sim.step(sim.expert_action(gain=self.gain))
+        goal_obs = sim._obs_dict(self.module.ll_mods)
+        return self._embed(self.params, _batched(goal_obs))
+
+    def decode_step(self, obs: Dict, subgoal, key) -> np.ndarray:
+        action = self._low(
+            self.params, _batched(obs["observation"]), subgoal, key
+        )
+        return np.asarray(action[0])

@@ -241,12 +241,33 @@ class CQLModule(AlgorithmModule):
 
     # -- network application helpers -------------------------------------------
 
+    # MC-dropout critics (q_network.with_dropout, the uncertainty-gated
+    # horizon curriculum's requirement) keep dropout ACTIVE in every forward
+    # like the reference's train-mode critics, so each apply needs a
+    # "dropout" rng. The key is refreshed from the step rng at the top of
+    # _compute_update; the default below covers out-of-update callers
+    # (policy/CEM eval paths), where a fixed key = a fixed dropout mask.
+    _dropout_key = None
+
+    @property
+    def _has_critic_dropout(self) -> bool:
+        return bool((self.cfg.get("q_network") or {}).get("with_dropout"))
+
+    def _critic_rngs(self):
+        if not self._has_critic_dropout:
+            return {}
+        key = self._dropout_key
+        if key is None:
+            key = jax.random.key(0)
+        return {"rngs": {"dropout": key}}
+
     def _actor_apply(self, params, method, *args, **kw):
         return self.actor_net.apply({"params": params}, *args, method=method, **kw)
 
     def _critic_emb(self, params, obs):
         return self.critic_net.apply(
-            {"params": params}, obs, method="get_emb_representation"
+            {"params": params}, obs, method="get_emb_representation",
+            **self._critic_rngs(),
         )
 
     def _critic_q_from_emb(self, params, emb, actions):
@@ -255,10 +276,13 @@ class CQLModule(AlgorithmModule):
             emb,
             actions,
             method=lambda net, e, a: net.critic(e, a),
+            **self._critic_rngs(),
         )
 
     def _critic_apply(self, params, obs, actions):
-        return self.critic_net.apply({"params": params}, obs, actions)
+        return self.critic_net.apply(
+            {"params": params}, obs, actions, **self._critic_rngs()
+        )
 
     def _critic_extra_losses(self, q_params, obs, next_obs, loss, cons_raw, m, name):
         """Optional DR3 feature-dot and VIB regularizers
@@ -302,9 +326,11 @@ class CQLModule(AlgorithmModule):
         pre-transformed observations (TACORL transforms the whole window once
         before relabeling, so re-augmenting here would double-jitter)."""
         cfg_n = self.n_action_samples
-        k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n, k_rand = (
-            jax.random.split(rng, 6)
+        k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n, k_rand, k_drop = (
+            jax.random.split(rng, 7)
         )
+        if self._has_critic_dropout:
+            self._dropout_key = k_drop
         if apply_transforms:
             obs = self.transforms(k_aug, batch["observations"], train=optimize)
             next_obs = self.transforms(
@@ -477,6 +503,11 @@ class CQLModule(AlgorithmModule):
                 f"{name}_random": q_rand.mean(),
                 f"{name}_policy": q_curr.mean(),
                 f"conservative_{name}_loss": cons,
+                # the conservative GAP (weighted logsumexp-Q minus data-Q,
+                # i.e. cons_raw, the quantity the Lagrange multiplier
+                # regulates toward target_action_gap) — logged so runs can
+                # show the penalty active while return rises (VERDICT r4 #5)
+                f"conservative_{name}_gap": cons_raw,
             })
             m[f"{name}_loss"] = loss
             return self._critic_extra_losses(

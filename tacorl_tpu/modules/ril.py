@@ -103,6 +103,13 @@ class RILNet(nn.Module):
         actions, _ = self.low_level_policy.get_actions(x, deterministic=True)
         return actions
 
+    def encode_goal(self, goal: Dict) -> Array:
+        """Embed a goal observation into the subgoal space the low level
+        conditions on — the same encoder+goal-encoder path training uses for
+        ``low_level_goal`` (compute_loss above). Lets an oracle high level
+        supply ground-truth subgoals (VERDICT r4 #6: isolate the low level)."""
+        return self.goal_encoder(self._emb(goal, self.ll_modalities))
+
 
 class RILModule(AlgorithmModule):
     name = "ril"

@@ -133,6 +133,34 @@ class TACORLModule(CQLModule):
         }
         q1_params = self.critic_net.init(k_q1, obs, latent_plan)["params"]
         q2_params = self.critic_net.init(k_q2, obs, latent_plan)["params"]
+        if bool(self.cfg.get("init_critic_encoder_from_lmp", False)):
+            # Warm-start the critics' perceptual/goal encoders from the
+            # pretrained LMP (recovery recipe for the visual CQL phase,
+            # VERDICT r4 #4): fresh conv critics must first relearn
+            # task-relevant features before their Q-landscape means anything,
+            # and until then the actor's Q-ascent walks the BC-warm-started
+            # proposal off the plan manifold. Grafting the (trainable copies
+            # of the) LMP features makes Q accurate early. The reference
+            # builds critics fresh (tacorl.py:82-92) — this is a
+            # config-gated extension, off by default.
+            for q_params in (q1_params, q2_params):
+                for sub in ("encoder", "goal_encoder"):
+                    src = lmp_params[
+                        "perceptual_encoder" if sub == "encoder" else sub
+                    ]
+                    dst = q_params.get(sub)
+                    if (
+                        dst is not None
+                        and jax.tree.structure(dst)
+                        == jax.tree.structure(src)
+                        and all(
+                            a.shape == b.shape
+                            for a, b in zip(
+                                jax.tree.leaves(dst), jax.tree.leaves(src)
+                            )
+                        )
+                    ):
+                        q_params[sub] = copy.deepcopy(src)
         params = {
             "actor": actor_params,
             "q1": q1_params,
