@@ -41,7 +41,7 @@ test:
 HEAVY_SHARD_1 := tests/test_play_lmp.py tests/test_scanned_step.py tests/test_networks.py
 HEAVY_SHARD_2 := tests/test_cql.py tests/test_tacorl.py tests/test_ril.py tests/test_online_rl.py
 HEAVY_SHARD_3 := tests/test_d4rl.py tests/test_torch_convert.py tests/test_full_model_parity.py
-HEAVY_SHARD_4 := tests/test_evaluation.py tests/test_callbacks.py tests/test_image_aug.py tests/test_pallas_aug.py tests/test_multichip_rl.py tests/test_train_cli.py tests/test_mesh.py tests/test_multiprocess.py tests/test_trainer_robustness.py tests/test_expert_play.py
+HEAVY_SHARD_4 := tests/test_evaluation.py tests/test_callbacks.py tests/test_image_aug.py tests/test_pallas_aug.py tests/test_multichip_rl.py tests/test_train_cli.py tests/test_mesh.py tests/test_multiprocess.py tests/test_trainer_robustness.py tests/test_expert_play.py tests/test_horizon_curriculum.py
 
 test-heavy-1:
 	$(PYTEST) -m "not slow" $(HEAVY_SHARD_1)

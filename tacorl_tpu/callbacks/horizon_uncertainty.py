@@ -26,8 +26,9 @@ __all__ = ["IncreaseHorizonUncertainty"]
 
 class IncreaseHorizonUncertainty(Callback):
     def __init__(self, forward_passes: int = 3, std_threshold: float = 0.125):
-        self.forward_passes = forward_passes
-        self.std_threshold = std_threshold
+        # coerce: YAML 1.1 scalars like "1e9" arrive as strings
+        self.forward_passes = int(forward_passes)
+        self.std_threshold = float(std_threshold)
         self._stds: List[float] = []
         self._mc_fn = None
         self._last_batch = None

@@ -150,8 +150,14 @@ class DataLoader:
                 yield pending.popleft().result()
         finally:
             # consumer may abandon the iterator early (generator close):
-            # don't block teardown on up-to-`window` queued produce() calls
-            pool.shutdown(wait=False, cancel_futures=True)
+            # don't block teardown on up-to-`window` queued produce() calls.
+            # At interpreter shutdown the generator may be finalized after
+            # concurrent.futures' module globals are cleared — swallow the
+            # resulting AttributeError instead of spraying it to stderr.
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
 
 
 def device_prefetch(iterator: Iterator, put_fn: Callable[[Any], Any], depth: int = 1):
