@@ -330,7 +330,23 @@ class CQLModule(AlgorithmModule):
             jax.random.split(rng, 7)
         )
         if self._has_critic_dropout:
+            # scoped to this trace: cleared in _finish_update so a traced
+            # key never leaks into later jits (agents' policy/CEM paths)
             self._dropout_key = k_drop
+        try:
+            return self._compute_update_body(
+                state, k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n,
+                k_rand, batch, scalars, optimize, apply_transforms, cfg_n,
+            )
+        finally:
+            self._dropout_key = None
+
+    def _compute_update_body(
+        self, state, k_aug, k_curr, k_next_bellman, k_curr_n, k_next_n,
+        k_rand, batch, scalars, optimize, apply_transforms, cfg_n,
+    ):
+        """The update proper; split from _compute_update only so the
+        MC-dropout key can be trace-scoped (see above)."""
         if apply_transforms:
             obs = self.transforms(k_aug, batch["observations"], train=optimize)
             next_obs = self.transforms(
