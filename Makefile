@@ -19,7 +19,8 @@ FAST_TESTS := \
 	tests/test_utils_misc.py \
 	tests/test_env_adapters.py \
 	tests/test_reproducibility.py \
-	tests/test_parity_harness.py
+	tests/test_parity_harness.py \
+	tests/test_archived_evidence.py
 
 #   make test-e2e    train-to-success integration runs (tens of minutes:
 #                    trains Play-LMP + TACO-RL to rollout success on the
