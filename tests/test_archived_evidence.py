@@ -95,6 +95,34 @@ def test_visual_cql_phase_recovery_claim():
     assert max(a for s, a in curve if s in (5312, 5976)) >= 0.94, curve
 
 
+def test_flat_cql_evidence_claims():
+    """BASELINE.md (VERDICT r4 #1 + #2): state-modality flat goal-conditioned
+    CQL on the flagship dataset — monitored val_accuracy reaches 1.0 at step
+    6856, the linear goal-horizon curriculum runs 16 -> 128 inside the run,
+    and the monitored-best checkpoint scores 0.775 over ALL 160 validation
+    full-spans through the cql_easy-shaped offline protocol."""
+    curve = _val_curve("cql_state_metrics.jsonl")
+    assert dict(curve)[6856] == 1.0, curve
+    assert max(a for _, a in curve) == 1.0
+    horizons = []
+    with open(R5 / "cql_state_metrics.jsonl") as f:
+        for line in f:
+            d = json.loads(line)
+            if "train/goal_horizon" in d:
+                horizons.append(d["train/goal_horizon"])
+    assert horizons[0] == 16.0 and horizons[-1] == 128.0, (
+        horizons[:2], horizons[-2:],
+    )
+    assert all(b >= a for a, b in zip(horizons, horizons[1:])), horizons
+    per_task = _load("cql_state_eval_best.json")
+    assert len(per_task) == 4 and all(
+        v["num_rollouts"] == 40 for v in per_task.values()
+    ), per_task
+    n = sum(v["num_rollouts"] for v in per_task.values())
+    acc = sum(v["accuracy"] * v["num_rollouts"] for v in per_task.values()) / n
+    assert abs(acc - 0.775) < 1e-9, acc
+
+
 def test_online_cql_evidence_claims():
     """BASELINE.md (VERDICT r4 #5): online CQL on-chip — return -36 -> -2.3,
     val_accuracy sustained 1.0, conservative gap logged throughout."""

@@ -2,12 +2,20 @@
 
 The last reference family with no learning evidence: goal-conditioned CQL in
 its native 7-dim action space (not over latent plans), trained through
-``scripts/train.py experiment=cql_fake`` on scripted-expert play transitions
-with geometric + increasing-horizon goal relabeling, the REAL rollout
-callback supplying ``val_accuracy`` through the FlatPolicyAgent/RLRollout
-path, and the linear goal-horizon curriculum LIVE (VERDICT r4 #2).
-Afterwards the monitored-best checkpoint is evaluated offline through the
-``scripts/evaluate.py`` single-task protocol (the cql_easy preset's shape).
+``scripts/train.py experiment=cql_fake_state`` on scripted-expert play
+transitions with geometric + increasing-horizon goal relabeling, the REAL
+rollout callback supplying ``val_accuracy`` through the
+FlatPolicyAgent/RLRollout path, and the linear goal-horizon curriculum LIVE
+(VERDICT r4 #2). Afterwards the monitored-best checkpoint is evaluated
+offline through the ``scripts/evaluate.py`` single-task protocol (the
+cql_easy preset's shape).
+
+State modalities because on this hermetic env pure BC/Q gradients leave a
+conv GOAL head collapsed (probe archived in
+results/r5_train_to_success/cql_visual_goal_collapse.json) — state vectors
+are goal-discriminative by construction and isolate the CQL update, matching
+the reference's own state-mode flat CQL
+(modules/cql/cql_offline_lightning_d4rl.py).
 
 Reference: config/experiment/cql_offline_goal_cond.yaml:1-30,
 modules/cql/cql_offline_lightning.py:24-574, scripts/evaluate.py:114-181.
@@ -71,7 +79,7 @@ def cql_run(play_data, tmp_path_factory):
     run_dir = tmp_path_factory.mktemp("cql_run")
     main(
         [
-            "experiment=cql_fake",
+            "experiment=cql_fake_state",
             f"data_dir={play_data}",
             f"run_dir={run_dir}",
             f"trainer.max_steps={CQL_MAX_STEPS}",
@@ -96,7 +104,7 @@ def test_flat_cql_horizon_curriculum_ran(cql_run):
     the logged horizon starts at initial_horizon and grows."""
     hs = _horizons(cql_run)
     assert hs, "goal_horizon never logged — curriculum not wired"
-    assert hs[0] == 8.0, hs[:3]
+    assert hs[0] == 16.0, hs[:3]  # cql_fake_state initial_horizon
     assert hs[-1] > hs[0], hs
 
 
@@ -115,6 +123,8 @@ def test_flat_cql_offline_eval(cql_run, play_data, tmp_path_factory):
             "env.image_hw=64",
             "env.max_episode_steps=56",
             "env.task_set=hard",
+            "env.modalities=[robot_obs,scene_obs]",
+            "env.goal_modalities=[robot_obs,scene_obs]",
             "eval_type=short_horizon",
             "min_seq_len=1",
             "max_seq_len=64",
