@@ -83,6 +83,12 @@ def cql_run(play_data, tmp_path_factory):
             f"data_dir={play_data}",
             f"run_dir={run_dir}",
             f"trainer.max_steps={CQL_MAX_STEPS}",
+            # this dataset is ~1/3 the flagship's (326 steps/epoch vs 857);
+            # stretch the BC warm-start to keep gradient-step parity with the
+            # archived run's BC phase (~6.9k steps; BASELINE.md recipe) —
+            # critic bellman + conservative losses train from step 0 either
+            # way, and the last ~3 epochs run the full CQL actor update
+            "module.bc_epochs=24",
         ]
     )
     return run_dir
